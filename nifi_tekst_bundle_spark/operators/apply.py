@@ -1,0 +1,85 @@
+"""Per-batch CDC apply — the engine's ReorderFiles.onTrigger analogue
+(reference ReorderFiles.kt:329-420): parse/validate → resolve instructions →
+apply as one atomic state transition → emit lineage summary.
+
+``apply_batch`` is pure DataFrame-in/DataFrame-out (used by tests and by the
+pure-SQL-checkable catalog queries); ``table.lake.LakeTable.merge_batch``
+wires the same logic into bucket-pruned copy-on-write commits.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import PAYLOAD_COLUMNS, promoted_columns
+from . import lww, resolve
+
+
+@dataclass
+class BatchResult:
+    state: DataFrame  # new register state
+    dead_letters: DataFrame
+    normalized_count: int = -1
+
+
+def apply_batch(
+    state_regs: DataFrame,
+    events: DataFrame,
+    payload_cols: list[str],
+) -> BatchResult:
+    """Apply one declarative batch of change events to register state."""
+    promoted = [c for c in payload_cols if c not in PAYLOAD_COLUMNS]
+    good, dead1 = resolve.validate(events, promoted)
+    pre_visible = lww.visible(state_regs, payload_cols)
+    normalized, dead2 = resolve.expand_moves(good, pre_visible, payload_cols)
+    bregs = lww.batch_registers(normalized, payload_cols)
+    new_state = lww.combine_registers(state_regs, bregs, payload_cols)
+    dead = dead1.select("lsn", "batch_id", "op", "reason").unionByName(
+        dead2.select("lsn", "batch_id", "op", "reason")
+    )
+    return BatchResult(state=new_state, dead_letters=dead)
+
+
+def apply_log(
+    spark: SparkSession,
+    seed_df: DataFrame,
+    batches: list[DataFrame],
+    max_schema_version: int = 99,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a whole event log (list of batch DataFrames, in batch order)
+    onto a seed table. Test/driver helper — production uses the streaming
+    runner. Returns (final_visible, dead_letters).
+
+    localCheckpoint between folds truncates lineage so plan size stays
+    constant no matter how many batches replay.
+    """
+    payload_cols = list(PAYLOAD_COLUMNS) + list(promoted_columns(max_schema_version))
+    state = lww.seed_registers(seed_df, payload_cols).localCheckpoint(eager=True)
+    deads = []
+    for b in batches:
+        res = apply_batch(state, b, payload_cols)
+        state = res.state.localCheckpoint(eager=True)
+        deads.append(res.dead_letters)
+    dead = deads[0]
+    for d in deads[1:]:
+        dead = dead.unionByName(d)
+    return lww.visible(state, payload_cols), dead
+
+
+def batch_lineage(
+    normalized: DataFrame,
+) -> DataFrame:
+    """Per-partition lineage counts for the metrics table (the grown-up
+    version of the ReorderFiles result summary, ReorderFiles.kt:396-406)."""
+    return (
+        normalized.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("events_applied"),
+            F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("upserts"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
+        )
+    )

@@ -1,0 +1,162 @@
+"""Event resolution: validate → synthesize keys → expand moves → normalize.
+
+The Spark transposition of the reference's instruction-building pass
+(processChanges ReorderFiles.kt:304-327 + addInstruction
+ReorderFiles.kt:124-189):
+
+- key-safety validation → dead-letter route (PathSafety.kt:22-32; the
+  failure relationship ReorderFiles.kt:416-418),
+- deterministic id synthesis for keyless inserts (UUIDv7 fallback,
+  ReorderFiles.kt:312-316),
+- move expansion resolves the source payload against the *pre-batch visible
+  state* — the declarative-batch semantics of the reference, which probes
+  current disk state before any rename (ReorderFiles.kt:150-184) — and
+  suppresses the source delete when the source key is also an upsert target
+  in the same batch (swap preservation, RenameS3Utils.kt:120-133).
+
+All pure DataFrame expressions; the only joins are move-source resolution
+(small move set × bucket-pruned state) and the swap anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import PAYLOAD_COLUMNS
+
+SAFE_KEY_REGEX = "^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$"
+VALID_OPS = ("insert", "update", "delete", "move")
+KEY = ["conv_id", "turn_idx"]
+
+NORMALIZED_COLS = ["lsn", "batch_id", "op", "conv_id", "turn_idx"]
+
+
+def synth_conv_id_expr() -> F.Column:
+    """conv-auto-<16 uppercase hex digits of lsn> — deterministic,
+    time-ordered (lsn is monotone), replay-stable."""
+    return F.concat(F.lit("conv-auto-"), F.lpad(F.hex(F.col("lsn")), 16, "0"))
+
+
+def payload_exprs(promoted: list[str]) -> list[F.Column]:
+    """Base payload columns plus promoted schema-evolution columns pulled
+    out of the ``extra`` map (the opaque pass-through fields of
+    ReorderFiles.kt:396-406 becoming first-class columns)."""
+    cols = [F.col(c) for c in PAYLOAD_COLUMNS]
+    for c in promoted:
+        cols.append(F.try_element_at(F.col("extra"), F.lit(c)).alias(c))
+    return cols
+
+
+def validate(events: DataFrame, promoted: list[str]) -> tuple[DataFrame, DataFrame]:
+    """Split the raw event stream into (good, dead_letter).
+
+    good has synthesized conv_ids and promoted extra columns materialized.
+    dead_letter keeps the raw event plus a ``reason`` column.
+    """
+    is_move = F.col("op") == "move"
+    bad_src = (
+        F.col("src_conv_id").isNull()
+        | F.col("src_turn_idx").isNull()
+        | ~F.col("src_conv_id").rlike(SAFE_KEY_REGEX)
+    )
+    reason = (
+        F.when(~F.col("op").isin(*VALID_OPS), F.lit("bad_op"))
+        .when(F.col("conv_id").isNull() & (F.col("op") != "insert"), F.lit("missing_key"))
+        .when(F.col("turn_idx").isNull(), F.lit("missing_key"))
+        .when(
+            F.col("conv_id").isNotNull() & ~F.col("conv_id").rlike(SAFE_KEY_REGEX),
+            F.lit("unsafe_key"),
+        )
+        .when(is_move & bad_src, F.lit("missing_key"))
+    )
+    tagged = events.withColumn("_reason", reason)
+    dead = tagged.filter(F.col("_reason").isNotNull()).withColumnRenamed(
+        "_reason", "reason"
+    )
+    good = (
+        tagged.filter(F.col("_reason").isNull())
+        .drop("_reason")
+        .withColumn("conv_id", F.coalesce(F.col("conv_id"), synth_conv_id_expr()))
+    )
+    good = good.select(
+        "lsn",
+        "batch_id",
+        "op",
+        "conv_id",
+        "turn_idx",
+        "src_conv_id",
+        "src_turn_idx",
+        *payload_exprs(promoted),
+    )
+    return good, dead
+
+
+def expand_moves(
+    good: DataFrame, pre_visible: DataFrame, payload_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Turn move events into (target upsert + swap-aware source delete).
+
+    Returns (normalized, dead_moves) where normalized has op ∈
+    {insert, update, delete} only, columns NORMALIZED_COLS + payload.
+    """
+    out_cols = NORMALIZED_COLS + payload_cols
+    moves = good.filter(F.col("op") == "move")
+    nonmoves = good.filter(F.col("op") != "move").select(*out_cols)
+
+    src = pre_visible.select(
+        F.col("conv_id").alias("src_conv_id"),
+        F.col("turn_idx").alias("src_turn_idx"),
+        F.lit(True).alias("_src_exists"),
+        *[F.col(c).alias(f"_src_{c}") for c in payload_cols],
+    )
+    resolved = moves.join(src, ["src_conv_id", "src_turn_idx"], "left")
+    dead_moves = (
+        resolved.filter(F.col("_src_exists").isNull())
+        .select(*[F.col(c) for c in moves.columns])
+        .withColumn("reason", F.lit("missing_move_source"))
+    )
+    found = resolved.filter(F.col("_src_exists").isNotNull())
+
+    # new-wins column merge (GenerateJsonFromProps.kt:302-322 rule):
+    # explicit event payload beats the moved source row's payload
+    move_upserts = found.select(
+        F.col("lsn"),
+        F.col("batch_id"),
+        F.lit("update").alias("op"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        *[F.coalesce(F.col(c), F.col(f"_src_{c}")).alias(c) for c in payload_cols],
+    )
+
+    upsert_targets = (
+        nonmoves.filter(F.col("op") != "delete")
+        .select(*KEY)
+        .union(move_upserts.select(*KEY))
+        .distinct()
+    )
+    # swap preservation: a moved-away source survives iff something else in
+    # the batch writes it (RenameS3Utils.kt:120-133 "except final destinations")
+    src_deletes = (
+        found.select(
+            F.col("lsn"),
+            F.col("batch_id"),
+            F.lit("delete").alias("op"),
+            F.col("src_conv_id").alias("conv_id"),
+            F.col("src_turn_idx").alias("turn_idx"),
+        )
+        .join(upsert_targets, KEY, "left_anti")
+        .select(
+            "lsn",
+            "batch_id",
+            "op",
+            "conv_id",
+            "turn_idx",
+            *[F.lit(None).cast("string").alias(c) if c != "ts" else F.lit(None).cast("timestamp").alias(c) for c in payload_cols],
+        )
+    )
+
+    normalized = nonmoves.unionByName(move_upserts.select(*out_cols)).unionByName(
+        src_deletes.select(*out_cols)
+    )
+    return normalized, dead_moves
