@@ -1,0 +1,258 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference deduplicates change instructions before expensive sink ops
+(distinctBy on normalized keys, RenameS3Utils.kt:52); these operators grow
+that idea to document-level dedup at corpus scale:
+
+- exact dedup: hash-groupBy (one shuffle, map-side combine)
+- MinHash + LSH: shingle → minhash → band → bucket-join — candidate pairs
+  only ever meet inside a band bucket, so the shuffle is bounded by bucket
+  sizes, never O(n²)
+- SimHash: 64-bit sign-aggregated token hashes, near-dups within Hamming
+  radius via band-rotation buckets
+- n-gram Jaccard verification of LSH candidates
+
+All hashing is md5-prefix based (F.md5 → first 15 hex chars → bigint) so a
+SQL oracle (DuckDB) can reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash64(col: F.Column) -> F.Column:
+    """Deterministic 60-bit hash reproducible in ANSI SQL:
+    conv(substr(md5(x),1,15),16,10)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id representative per exact text hash."""
+    h = F.md5(F.col(text_col).cast("binary")).alias("text_hash")
+    return (
+        df.select(F.col(id_col), F.col(text_col), h)
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# ------------------------------------------------------------ shingling
+
+
+def word_shingles(text_col: F.Column, k: int = 3) -> F.Column:
+    """Array of word k-grams (space-joined), JVM-side via transform/sequence
+    — the columnar analogue of a shingling loop."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.array_join(words, " "))))
+
+
+# ------------------------------------------------------------ minhash
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """One row per doc: minhash_0..n-1 columns.
+
+    Plan shape: explode(shingles) → single hash-agg computing all n mins
+    (map-side partial aggregation ⇒ one shuffle keyed by doc id; no UDFs).
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    ).dropDuplicates([id_col, "sh"])
+    aggs = [
+        F.min(hash64(F.concat(F.lit(f"mh{i}|"), F.col("sh")))).alias(f"minhash_{i}")
+        for i in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sig: DataFrame, id_col: str, n_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Band signatures: band_id ∈ [0, n_bands), band_hash = md5 of the
+    band's minhashes. Docs sharing (band_id, band_hash) are candidates."""
+    rows = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"minhash_{b * rows + r}") for r in range(rows)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])).alias(
+                    "band_hash"
+                ),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.7,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate pairs from LSH buckets, verified by exact n-gram Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. The verification join
+    only touches docs that co-bucket — at corpus scale the candidate set is
+    ~linear in corpus size for reasonable band settings.
+    """
+    sig = minhash_signature(df, id_col, text_col, n_hashes, k)
+    bands = lsh_bands(sig, id_col, n_hashes, n_bands)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    j = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / F.greatest(F.col("uni"), F.lit(1)), 6),
+        )
+    )
+    return j.filter(F.col("jaccard") >= jaccard_threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ------------------------------------------------------------ simhash
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc: per-token 60-bit hashes, sign-summed per bit.
+
+    Built-ins only: explode tokens → one agg with 64 conditional sums →
+    bit-OR fold. One shuffle on the doc id.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    h = hash64(F.col("tok"))
+    aggs = []
+    for bit in range(60):
+        bitval = F.shiftright(h, bit).bitwiseAND(F.lit(1))
+        aggs.append(
+            F.sum(F.when(bitval == 1, 1).otherwise(-1)).alias(f"s{bit}")
+        )
+    agg = toks.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for bit in range(60):
+        sim = sim + F.when(F.col(f"s{bit}") > 0, F.lit(2 ** bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates: docs sharing any 15-bit simhash band (catches
+    Hamming distance < n_bands by pigeonhole)."""
+    sim = simhash64(df, id_col, text_col)
+    width = 60 // n_bands
+    bands = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+def embedding_near_dups(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-duplicates by embedding cosine, LSH-bucketed by random
+    hyperplane signs so the pairwise check never goes O(n²).
+
+    Hyperplane weights are hash-derived (deterministic, no RNG state):
+    w(p, d) ∈ [-1, 1) from md5(p|d).
+    """
+    from .similarity import cosine, hyperplane_signature
+
+    sigs = df.select(
+        F.col(id_col), F.col(vec_col),
+        hyperplane_signature(F.col(vec_col), n_planes).alias("sig"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.sig") == F.col("b.sig"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
+            "cos"
+        ),
+    )
+    return pairs.filter(F.col("cos") >= threshold)

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline; hyperplane-LSH
+bucketing as the scale path (candidates meet only inside buckets). Dot
+products run JVM-side via zip_with + aggregate — no Python in the scan.
+
+At 100 TB the corpus side stays partitioned; the query side is small and
+broadcast, so top-k is a broadcast nested-loop over pruned buckets followed
+by a per-query window — shuffle bounded by (n_queries × k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query. Queries are broadcast; ties broken by
+    corpus id for determinism."""
+    joined = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(qvec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos", "rank")
+    )
+
+
+def _plane_weight(p: int, d: F.Column) -> F.Column:
+    """Deterministic pseudo-random weight in [-1, 1): derived from
+    md5(p|d) — reproducible anywhere, incl. a SQL oracle."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"plane{p}|"), d.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h % 2000 - 1000).cast("double") / 1000.0
+
+
+def hyperplane_signature(vec: F.Column, n_planes: int = 8) -> F.Column:
+    """Sign bits of n_planes hash-derived hyperplane projections, packed
+    into a string bucket key."""
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x * _plane_weight(p, i),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates share the hyperplane bucket; exact
+    cosine + window inside the bucket only. The IVF/LSH scale path — at
+    1000× data the equi-join on the bucket key replaces the cross join."""
+    c = corpus.withColumn("_sig", hyperplane_signature(F.col(vec_col), n_planes))
+    q = queries.withColumn("_sig", hyperplane_signature(F.col(qvec_col), n_planes))
+    joined = c.join(F.broadcast(q), "_sig").select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos", "rank")
+    )

@@ -1,0 +1,883 @@
+"""Query catalog — the driver contract surface.
+
+Each entry pairs a Spark implementation (built on the engine's operators)
+with an equivalent ANSI SQL string DuckDB can run on the same parquet
+tables; the driver compares row counts + schemas + order-insensitive value
+hashes. Every computed column is aliased identically on both sides, and all
+floating-point reductions use the same left-fold order on both engines so
+values match bit-for-bit before rounding.
+
+The CDC queries derive a deterministic change log from the ``events`` table
+(pure column expressions, no RNG) and run it through the engine's
+resolve → LWW register → visibility pipeline; the oracle replays the same
+semantics as windowed/FILTERed SQL aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import keys as kf
+from ..functions import text as tf
+from ..operators import dedup, lww, resolve, similarity
+
+CDC_PAYLOAD = ["role", "text", "tool"]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# change-event derivation from the `events` table (same logic, both engines)
+# --------------------------------------------------------------------------
+
+
+def derive_change_events(
+    spark: SparkSession, sf_dir: str, include_invalid: bool = False
+) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "purchase", F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+    if include_invalid:
+        op = F.when(
+            (F.col("event_type") == "signup") & (F.col("value") < 20),
+            F.lit("frobnicate"),
+        ).otherwise(op)
+    conv = F.when(
+        (F.col("user_id") % 7 == 0)
+        & (~F.col("event_type").isin("error", "purchase") if not include_invalid else F.lit(True)),
+        F.lit(None).cast("string"),
+    ).otherwise(
+        F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 6, "0"))
+    )
+    dec_text = F.concat(
+        F.lit("v"),
+        F.round(F.col("value"), 2).cast("decimal(18,2)").cast("string"),
+    )
+    return ev.select(
+        (F.col("event_id") + 1).alias("lsn"),
+        F.concat(F.lit("b"), F.lpad((F.col("event_id") % 5).cast("string"), 2, "0")).alias(
+            "batch_id"
+        ),
+        op.alias("op"),
+        conv.alias("conv_id"),
+        (F.col("event_id") % 25).cast("int").alias("turn_idx"),
+        F.lit(None).cast("string").alias("src_conv_id"),
+        F.lit(None).cast("int").alias("src_turn_idx"),
+        F.when(F.col("event_type") != "error", F.col("event_type")).alias("role"),
+        F.when((F.col("event_type") != "error") & (F.col("value") > 50), dec_text).alias(
+            "text"
+        ),
+        F.when(
+            (F.col("event_type") != "error") & (F.col("value") > 100), F.lit("hot")
+        ).alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("map<string,string>").alias("extra"),
+        F.lit(1).alias("schema_version"),
+    )
+
+
+_EV_SQL_VALID = """
+  SELECT event_id + 1 AS lsn,
+         'b' || lpad(CAST(event_id % 5 AS VARCHAR), 2, '0') AS batch_id,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'purchase' THEN 'update'
+              ELSE 'insert' END AS op,
+         CASE WHEN user_id % 7 = 0 AND event_type NOT IN ('error','purchase')
+              THEN NULL
+              ELSE 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') END AS conv_id,
+         CAST(event_id % 25 AS INT) AS turn_idx,
+         CASE WHEN event_type <> 'error' THEN event_type END AS role,
+         CASE WHEN event_type <> 'error' AND value > 50
+              THEN 'v' || CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS VARCHAR) END AS text,
+         CASE WHEN event_type <> 'error' AND value > 100 THEN 'hot' END AS tool
+  FROM events
+"""
+
+_EV_SQL_INVALID = """
+  SELECT event_id + 1 AS lsn,
+         CASE WHEN event_type = 'signup' AND value < 20 THEN 'frobnicate'
+              WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'purchase' THEN 'update'
+              ELSE 'insert' END AS op,
+         CASE WHEN user_id % 7 = 0 THEN NULL
+              ELSE 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') END AS conv_id
+  FROM events
+"""
+
+
+def _lww_agg_sql(payload: list[str]) -> str:
+    cols = []
+    for c in payload:
+        cols.append(
+            f"coalesce(max(lsn) FILTER (WHERE op <> 'delete' AND {c} IS NOT NULL), -1) AS l_{c},\n"
+            f"    arg_max({c}, lsn) FILTER (WHERE op <> 'delete' AND {c} IS NOT NULL) AS v_{c}"
+        )
+    agg = ",\n    ".join(cols)
+    vis = ",\n  ".join(
+        f"CASE WHEN l_{c} > ldel THEN v_{c} END AS {c}" for c in payload
+    )
+    return agg, vis
+
+
+_AGG, _VIS = _lww_agg_sql(CDC_PAYLOAD)
+
+CDC_FINAL_STATE_SQL = f"""
+WITH ev AS ({_EV_SQL_VALID}),
+ev2 AS (
+  SELECT lsn, op,
+         coalesce(conv_id, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0')) AS conv_id,
+         turn_idx, role, text, tool
+  FROM ev
+),
+agg AS (
+  SELECT conv_id, turn_idx,
+    coalesce(max(lsn) FILTER (WHERE op <> 'delete'), -1) AS lup,
+    coalesce(max(lsn) FILTER (WHERE op = 'delete'), -1) AS ldel,
+    {_AGG}
+  FROM ev2 GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx,
+  {_VIS}
+FROM agg WHERE lup > ldel
+"""
+
+
+def q_cdc_lww_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = derive_change_events(spark, sf_dir)
+    good, _dead = resolve.validate(events, [])
+    normalized = good.select(
+        "lsn", "batch_id", "op", "conv_id", "turn_idx", *CDC_PAYLOAD
+    )
+    regs = lww.batch_registers(normalized, CDC_PAYLOAD)
+    return lww.visible(regs, CDC_PAYLOAD)
+
+
+def q_cdc_streaming_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as q_cdc_lww_final_state but through the full streaming
+    path: event files → checkpointed stream → fenced LakeTable commits →
+    visible table read. Proves the streaming engine against a SQL oracle."""
+    from ..streaming import runner
+    from ..table.lake import LakeTable
+
+    import glob
+    import shutil
+
+    events = derive_change_events(spark, sf_dir).cache()
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_")
+    # one file per producer batch (binlog-segment layout), batch_id retained
+    flat = os.path.join(tmp, "flat")
+    os.makedirs(flat, exist_ok=True)
+    bids = [r[0] for r in events.select("batch_id").distinct().collect()]
+    for bid in sorted(bids):
+        events.filter(F.col("batch_id") == bid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, f"stage-{bid}"))
+        src = glob.glob(os.path.join(tmp, f"stage-{bid}", "*.parquet"))[0]
+        shutil.copy(src, os.path.join(flat, f"{bid}.parquet"))
+
+    table = LakeTable.create(spark, os.path.join(tmp, "table"),
+                             payload_cols=CDC_PAYLOAD, n_buckets=8)
+    runner.run_to_completion(
+        spark, flat, table, os.path.join(tmp, "ckpt"), run_id="catalog",
+        max_files_per_trigger=2,
+    )
+    events.unpersist()
+    return table.visible(spark)
+
+
+CDC_DEAD_LETTER_SQL = f"""
+WITH ev AS ({_EV_SQL_INVALID}),
+classified AS (
+  SELECT CASE
+    WHEN op NOT IN ('insert','update','delete','move') THEN 'bad_op'
+    WHEN conv_id IS NULL AND op <> 'insert' THEN 'missing_key'
+    ELSE NULL END AS reason
+  FROM ev
+)
+SELECT reason, count(*) AS n FROM classified WHERE reason IS NOT NULL GROUP BY reason
+"""
+
+
+def q_cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = derive_change_events(spark, sf_dir, include_invalid=True)
+    _good, dead = resolve.validate(events, [])
+    return dead.groupBy("reason").agg(F.count("*").alias("n"))
+
+
+CDC_ID_SYNTHESIS_SQL = f"""
+WITH ev AS ({_EV_SQL_VALID})
+SELECT lsn, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0') AS conv_id
+FROM ev WHERE conv_id IS NULL AND op = 'insert'
+"""
+
+
+def q_cdc_id_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = derive_change_events(spark, sf_dir)
+    good, _ = resolve.validate(events, [])
+    return good.filter(F.col("conv_id").rlike("^conv-auto-")).select(
+        "lsn", "conv_id"
+    )
+
+
+CDC_LINEAGE_SQL = f"""
+WITH ev AS ({_EV_SQL_VALID})
+SELECT batch_id,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE op <> 'delete') AS upserts,
+       count(*) FILTER (WHERE op = 'delete') AS deletes
+FROM ev GROUP BY batch_id
+"""
+
+
+def q_cdc_lineage_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = derive_change_events(spark, sf_dir)
+    return events.groupBy("batch_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("upserts"),
+        F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
+    )
+
+
+# --------------------------------------------------------------------------
+# relational operators (A1-A7 shapes) over the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+TOP_PARTS_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT p.p_partkey, p.p_name, rev.revenue,
+         CAST(row_number() OVER (ORDER BY rev.revenue DESC, p.p_partkey ASC) AS INT) AS rank
+  FROM rev JOIN part p ON p.p_partkey = rev.l_partkey
+)
+SELECT p_partkey, p_name, revenue, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue")
+    )
+    j = rev.join(F.broadcast(part), rev.l_partkey == part.p_partkey)
+    w = Window.orderBy(F.col("revenue").desc(), F.col("p_partkey").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("p_partkey", "p_name", "revenue", "rank")
+    )
+
+
+VALIDATION_AGG_SQL = """
+SELECT user_id,
+  count(*) AS n_events,
+  count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+  CAST(min(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS INT) AS all_valid,
+  coalesce(string_agg('e' || CAST(event_id AS VARCHAR), '; ' ORDER BY event_id)
+           FILTER (WHERE event_type = 'error'), '') AS error_log
+FROM events GROUP BY user_id
+"""
+
+
+def q_validation_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (Jhove.kt:490-516): fold per-row statuses into a batch verdict —
+    bool_and as min(int), error concatenation in deterministic order."""
+    ev = _read(spark, sf_dir, "events")
+    err_struct = F.when(
+        F.col("event_type") == "error",
+        F.struct(
+            F.col("event_id").alias("k"),
+            F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("m"),
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+        F.min(F.when(F.col("event_type") == "error", 0).otherwise(1))
+        .cast("int")
+        .alias("all_valid"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(err_struct)), lambda x: x["m"]),
+            "; ",
+        ).alias("error_log"),
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT DISTINCT user_id FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events p WHERE p.user_id = e.user_id AND p.event_type = 'purchase')
+"""
+
+
+def q_anti_join_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 (ReorderFiles.kt:200-240): anti-join set difference — users with
+    activity but no surviving 'purchase' (the emptied-source shape)."""
+    ev = _read(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return ev.select("user_id").distinct().join(buyers, "user_id", "left_anti")
+
+
+UNION_DISTINCT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'error'
+UNION
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (ReorderFiles.kt:385-388): (targets + sources).toSet()."""
+    ev = _read(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.union(b).distinct()
+
+
+CONV_FOLD_SQL = """
+SELECT user_id, count(*) AS n_events,
+  string_agg(event_type, '|' ORDER BY event_id) AS chain,
+  md5(string_agg(event_type, '|' ORDER BY event_id)) AS chain_md5
+FROM events GROUP BY user_id
+"""
+
+
+def q_conv_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (CreateMetsBrowsing.kt:161-312): per-item ordered fold into one
+    deterministic document + checksum — the METS render as groupBy +
+    sort_array(collect_list(struct)) + md5."""
+    ev = _read(spark, sf_dir, "events")
+    chain = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("event_id").alias("k"),
+                                        F.col("event_type").alias("v")))
+            ),
+            lambda x: x["v"],
+        ),
+        "|",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        chain.alias("chain"),
+        F.md5(chain.cast("binary")).alias("chain_md5"),
+    )
+
+
+WINDOW_LWW_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id,
+         CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id AS last_event_id, v AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_window_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: the explicit last-writer-wins window (row_number by lsn desc)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.round(F.col("value"), 2).cast("decimal(18,2)").cast("double").alias("last_value"),
+        )
+    )
+
+
+FIRST_MATCH_SQL = """
+SELECT user_id, min(event_id) AS first_event_id,
+       arg_min(event_type, event_id) AS first_event_type
+FROM events GROUP BY user_id
+"""
+
+
+def q_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (JhoveParser.kt:130): take-first-hit per group."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min_by("event_type", "event_id").alias("first_event_type"),
+    )
+
+
+ROUTING_SQL = """
+SELECT CASE WHEN event_type = 'error' THEN 'failure'
+            WHEN value >= 100 THEN 'success'
+            ELSE 'well-formed' END AS route,
+       count(*) AS n,
+       CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_events_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: multi-way relationship routing as a route column + per-route agg."""
+    ev = _read(spark, sf_dir, "events")
+    route = (
+        F.when(F.col("event_type") == "error", "failure")
+        .when(F.col("value") >= 100, "success")
+        .otherwise("well-formed")
+    )
+    return ev.groupBy(route.alias("route")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+RATIONAL_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / l_quantity AS unit_price
+FROM lineitem WHERE l_quantity > 0
+"""
+
+
+def q_rational_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 shape (JhoveParser.kt:55-67): numerator/denominator projection."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+
+
+KEY_PROJECTION_SQL = r"""
+WITH named AS (
+  SELECT doc_id,
+    'tekst_' || CAST(doc_id AS VARCHAR) || '_' ||
+      lpad(CAST(doc_id % 40 + 1 AS VARCHAR), 5, '0') || '.jp2' AS fname
+  FROM documents
+)
+SELECT doc_id, fname,
+  regexp_extract(fname, '^(.+)_\d+\.(jp2|tif|tiff)$', 1) AS item_id,
+  CAST(regexp_extract(fname, '_(\d+)\.(jp2|tif|tiff)$', 1) AS INT) AS page_no,
+  regexp_replace(fname, '\.(jp2|tiff)$', '.tif') AS norm_name,
+  'URN:NBN:no-nb_' || regexp_extract(fname, '^(.+)_\d+\.(jp2|tif|tiff)$', 1) AS urn
+FROM named
+"""
+
+
+def q_key_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10/O6/P5/P7/P8: the filename-key round trip."""
+    docs = _read(spark, sf_dir, "documents")
+    fname = F.concat(
+        F.lit("tekst_"),
+        F.col("doc_id").cast("string"),
+        F.lit("_"),
+        F.lpad((F.col("doc_id") % 40 + 1).cast("string"), 5, "0"),
+        F.lit(".jp2"),
+    )
+    out = docs.select(F.col("doc_id"), fname.alias("fname"))
+    return out.select(
+        "doc_id",
+        "fname",
+        kf.extract_id_from_filename(F.col("fname")).alias("item_id"),
+        kf.extract_page_no(F.col("fname")).alias("page_no"),
+        kf.normalize_extension(F.col("fname")).alias("norm_name"),
+        kf.urn(kf.extract_id_from_filename(F.col("fname"))).alias("urn"),
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: documents (dedup / text analysis)
+# --------------------------------------------------------------------------
+
+DOCS_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+TOKEN_PATTERN_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+DOCS_TOKEN_STATS_SQL = rf"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{TOKEN_PATTERN_SQL}')) AS n_tokens,
+  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+  length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tf.token_count(F.col("text")).alias("n_tokens"),
+        tf.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def _sw_list_sql() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in tf.STOPWORDS_EN) + "]"
+
+
+DOCS_QUALITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS words,
+    length(text) AS n,
+    (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) AS n_punct
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    CASE WHEN n >= 20 AND n <= 5000 THEN 0.4 ELSE 0.0 END
+    + CASE WHEN n_punct / greatest(n, 1) < 0.2 THEN 0.3 ELSE 0.0 END
+    + CASE WHEN len(list_intersect(words, {_sw_list_sql()})) / greatest(len(words), 1) > 0.02
+           THEN 0.3 ELSE 0.0 END AS q,
+    text
+  FROM base
+)
+SELECT doc_id, round(q, 2) AS quality,
+  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 'empty'
+       WHEN round(q, 2) >= 0.7 THEN 'success'
+       WHEN round(q, 2) >= 0.4 THEN 'well-formed'
+       ELSE 'failure' END AS route
+FROM scored
+"""
+
+
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        tf.quality_score(c).alias("quality"),
+        F.when(c.isNull() | (F.length(F.trim(c)) == 0), F.lit("empty"))
+        .when(tf.quality_score(c) >= 0.7, F.lit("success"))
+        .when(tf.quality_score(c) >= 0.4, F.lit("well-formed"))
+        .otherwise(F.lit("failure"))
+        .alias("route"),
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for code in sorted(tf.LANG_MARKERS):
+        lst = "[" + ", ".join(f"'{w}'" for w in tf.LANG_MARKERS[code]) + "]"
+        score_cols.append(f"len(list_intersect(words, {lst})) AS s_{code}")
+    codes_desc = sorted(tf.LANG_MARKERS, reverse=True)  # ties → greatest code
+    case_lines = []
+    for code in codes_desc:
+        others = [c for c in sorted(tf.LANG_MARKERS) if c != code]
+        conds = " AND ".join(f"s_{code} >= s_{o}" for o in others)
+        case_lines.append(f"WHEN {conds} AND s_{code} > 0 THEN '{code}'")
+    cases = "\n       ".join(case_lines)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+scores AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM base
+)
+SELECT doc_id,
+  CASE {cases}
+       ELSE 'und' END AS lang_pred
+FROM scores
+"""
+
+
+DOCS_LANG_SQL = _lang_sql()
+
+
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", tf.lang_id(F.col("text")).alias("lang_pred"))
+
+
+DOCS_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT), list_transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+    (a, b) -> (a * 31 + b) % {tf.FP_MOD}
+  ) AS fp
+FROM documents
+"""
+
+
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", tf.fingerprint(F.col("text")).alias("fp"))
+
+
+def _minhash_sql(n_hashes: int = 4, k: int = 3) -> str:
+    mh = ",\n  ".join(
+        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5('mh{i}|' || s), 1, 15))::INT64)) AS minhash_{i}"
+        for i in range(n_hashes)
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {k}
+         THEN list_transform(range(len(words) - {k - 1}),
+                             i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM base
+)
+SELECT doc_id, {mh} FROM sh
+"""
+
+
+DOCS_MINHASH_SQL = _minhash_sql()
+
+
+def q_docs_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.minhash_signature(docs, "doc_id", "text", n_hashes=4, k=3)
+
+
+NGRAM_JACCARD_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents WHERE doc_id < 60
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 3
+         THEN list_transform(range(len(words) - 2),
+                             i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM base
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  len(list_intersect(a.shingles, b.shingles))
+        / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))
+      / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1) >= 0.1
+"""
+
+
+def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sh = docs.select(
+        "doc_id", dedup.word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.greatest(
+        F.size(F.array_union("sh_a", "sh_b")), F.lit(1)
+    )
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.1
+    )
+
+
+def _simhash_sql() -> str:
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(60)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
+        for b in range(60)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::INT64 AS hv FROM toks
+),
+agg AS (
+  SELECT doc_id,
+    {sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, ({bits}) AS simhash FROM agg
+"""
+
+
+DOCS_SIMHASH_SQL = _simhash_sql()
+
+
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.simhash64(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_DOT = "list_reduce(list_prepend(0.0, list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1])), (x, y) -> x + y)"
+_NRM = "sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)), (x, y) -> x + y))"
+
+ANN_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+    {_DOT.format(a='e.v', b='q.qv')}
+          / ({_NRM.format(a='e.v')} * {_NRM.format(a='q.qv')}) AS cos
+  FROM e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+EMBEDDING_NORMS_SQL = f"""
+SELECT vec_id,
+  len(embedding) AS dims,
+  {_NRM.format(a='list_transform(embedding, x -> CAST(x AS DOUBLE))')} AS l2_norm
+FROM embeddings
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dims"),
+        similarity.norm(v).alias("l2_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_lww_final_state": q_cdc_lww_final_state,
+    "cdc_streaming_final_state": q_cdc_streaming_final_state,
+    "cdc_dead_letter": q_cdc_dead_letter,
+    "cdc_id_synthesis": q_cdc_id_synthesis,
+    "cdc_lineage_rollup": q_cdc_lineage_rollup,
+    "q1_pricing_summary": q_pricing_summary,
+    "top_parts_by_revenue": q_top_parts_by_revenue,
+    "validation_aggregate": q_validation_aggregate,
+    "anti_join_cleanup": q_anti_join_cleanup,
+    "union_distinct": q_union_distinct,
+    "conv_fold": q_conv_fold,
+    "window_lww": q_window_lww,
+    "first_match": q_first_match,
+    "events_routing": q_events_routing,
+    "rational_projection": q_rational_projection,
+    "key_projection": q_key_projection,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_token_stats": q_docs_token_stats,
+    "docs_quality": q_docs_quality,
+    "docs_lang_id": q_docs_lang_id,
+    "docs_fingerprint": q_docs_fingerprint,
+    "docs_minhash_sig": q_docs_minhash_sig,
+    "docs_ngram_jaccard": q_docs_ngram_jaccard,
+    "docs_simhash": q_docs_simhash,
+    "ann_topk": q_ann_topk,
+    "embedding_norms": q_embedding_norms,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_lww_final_state": CDC_FINAL_STATE_SQL,
+    "cdc_streaming_final_state": CDC_FINAL_STATE_SQL,
+    "cdc_dead_letter": CDC_DEAD_LETTER_SQL,
+    "cdc_id_synthesis": CDC_ID_SYNTHESIS_SQL,
+    "cdc_lineage_rollup": CDC_LINEAGE_SQL,
+    "q1_pricing_summary": Q1_SQL,
+    "top_parts_by_revenue": TOP_PARTS_SQL,
+    "validation_aggregate": VALIDATION_AGG_SQL,
+    "anti_join_cleanup": ANTI_JOIN_SQL,
+    "union_distinct": UNION_DISTINCT_SQL,
+    "conv_fold": CONV_FOLD_SQL,
+    "window_lww": WINDOW_LWW_SQL,
+    "first_match": FIRST_MATCH_SQL,
+    "events_routing": ROUTING_SQL,
+    "rational_projection": RATIONAL_SQL,
+    "key_projection": KEY_PROJECTION_SQL,
+    "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
+    "docs_token_stats": DOCS_TOKEN_STATS_SQL,
+    "docs_quality": DOCS_QUALITY_SQL,
+    "docs_lang_id": DOCS_LANG_SQL,
+    "docs_fingerprint": DOCS_FINGERPRINT_SQL,
+    "docs_minhash_sig": DOCS_MINHASH_SQL,
+    "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "docs_simhash": DOCS_SIMHASH_SQL,
+    "ann_topk": ANN_TOPK_SQL,
+    "embedding_norms": EMBEDDING_NORMS_SQL,
+}

@@ -1,0 +1,403 @@
+"""LakeTable — an Iceberg-semantics-compatible snapshot table on parquet.
+
+The environment has no Iceberg runtime jar, so the engine ships its own
+minimal lakehouse layer with the same commit semantics (SURVEY.md §7
+fallback plan):
+
+- immutable parquet data files, grouped into hash buckets of ``conv_id``
+  (``PARTITIONED BY (bucket(N, conv_id))`` in Iceberg terms) — point
+  lookups, MERGE joins and conversation-prefix scans prune to buckets,
+  the analogue of the reference's prefix-scoped S3 listings
+  (DeleteAllS3ObjectsByPrefix.kt:115-117);
+- a JSON manifest per snapshot listing data files + schema + lineage,
+  committed by atomically replacing a HEAD pointer (os.replace) — the
+  write-new-files-then-atomic-snapshot-swap protocol that subsumes the
+  reference's two-phase staged rename with rollback
+  (RenameDiskUtils.kt:32-105, RenameS3Utils.kt:35-135): a crash before the
+  HEAD swap leaves only unreferenced orphans, no compensation needed
+  (ReorderFiles.kt:372-383 rollback becomes a no-op by construction);
+- **epoch-fenced commits**: each merge carries a fence key
+  (run_id/epoch_id/batch_id); the fence is recorded inside the same
+  manifest swap, so re-running a committed epoch is a structural no-op —
+  the exactly-once contract (the tmp-key-uniqueness + idempotence
+  invariants of RenameS3UtilsTest.kt:259 / ReorderFilesTest.kt:130-132);
+- MERGE is copy-on-write at bucket granularity: only buckets containing
+  touched keys are rewritten, so per-epoch cost scales with the change set,
+  not table size — at 100 TB with, say, 4096 buckets, an epoch touching 1%%
+  of conversations rewrites ~1%% of the table and the rest is untouched
+  manifest references.
+
+Single-writer (the streaming query driver), like an Iceberg hadoop catalog
+without a lock service.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import PAYLOAD_COLUMNS, promoted_columns
+from ..operators import lww, resolve
+from ..operators.apply import batch_lineage
+
+BUCKET_COL = "_bucket"
+
+
+def bucket_expr(n_buckets: int) -> F.Column:
+    # xxhash64 is deterministic (fixed seed 42) across sessions/executors
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Manifest:
+    version: int
+    payload_cols: list[str]
+    n_buckets: int
+    files: list[dict]  # {path, bucket, rows}
+    committed: dict  # fence_key -> version
+    lineage: list[dict]
+    dead_letter_files: list[dict]
+
+    @staticmethod
+    def empty(n_buckets: int, payload_cols: list[str]) -> "Manifest":
+        return Manifest(
+            version=0,
+            payload_cols=list(payload_cols),
+            n_buckets=n_buckets,
+            files=[],
+            committed={},
+            lineage=[],
+            dead_letter_files=[],
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        return Manifest(**json.loads(s))
+
+
+class LakeTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+        self.staging_dir = os.path.join(root, "staging")
+
+    # ---------- lifecycle ----------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        seed_df: DataFrame | None = None,
+        payload_cols: list[str] | None = None,
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        t = cls(root)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        payload_cols = list(payload_cols or PAYLOAD_COLUMNS)
+        m = Manifest.empty(n_buckets, payload_cols)
+        if seed_df is not None:
+            regs = lww.seed_registers(seed_df, payload_cols)
+            files = t._write_register_files(regs, n_buckets, tag="seed")
+            m.files = files
+        m.version = 1
+        t._write_manifest(m)
+        return t
+
+    @classmethod
+    def load(cls, root: str) -> "LakeTable":
+        t = cls(root)
+        t.manifest()  # raises if missing
+        return t
+
+    def manifest(self) -> Manifest:
+        with open(os.path.join(self.meta_dir, "HEAD")) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(self.meta_dir, f"v{v:06d}.json")) as f:
+            return Manifest.from_json(f.read())
+
+    def _write_manifest(self, m: Manifest) -> None:
+        path = os.path.join(self.meta_dir, f"v{m.version:06d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(m.to_json())
+        os.replace(tmp, path)
+        head_tmp = os.path.join(self.meta_dir, "HEAD.tmp")
+        with open(head_tmp, "w") as f:
+            f.write(str(m.version))
+        os.replace(head_tmp, os.path.join(self.meta_dir, "HEAD"))
+
+    # ---------- IO ----------
+
+    def _write_register_files(
+        self, regs: DataFrame, n_buckets: int, tag: str
+    ) -> list[dict]:
+        """Write register rows as one parquet file per touched bucket via a
+        per-commit staging dir (unique names — the tmp_<uuidv7>_ staging of
+        RenameS3Utils.kt:78, fenced per commit instead of per key)."""
+        commit_id = uuid.uuid4().hex[:12]
+        stage = os.path.join(self.staging_dir, f"{tag}-{commit_id}")
+        (
+            regs.withColumn(BUCKET_COL, bucket_expr(n_buckets))
+            .repartition(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(stage)
+        )
+        files: list[dict] = []
+        for entry in sorted(os.listdir(stage)):
+            mm = re.match(rf"{BUCKET_COL}=(\d+)$", entry)
+            if not mm:
+                continue
+            b = int(mm.group(1))
+            bdir = os.path.join(stage, entry)
+            for fn in sorted(os.listdir(bdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                dst = os.path.join(
+                    self.data_dir, f"{tag}-{commit_id}-b{b:05d}-{fn}"
+                )
+                shutil.move(os.path.join(bdir, fn), dst)
+                files.append({"path": dst, "bucket": b, "rows": -1})
+        shutil.rmtree(stage, ignore_errors=True)
+        return files
+
+    def read_registers(
+        self, spark: SparkSession, buckets: set[int] | None = None
+    ) -> DataFrame:
+        m = self.manifest()
+        paths = [
+            f["path"]
+            for f in m.files
+            if buckets is None or f["bucket"] in buckets
+        ]
+        if not paths:
+            schema = ", ".join(
+                ["conv_id string", "turn_idx int", "_lsn_up long", "_lsn_del long"]
+                + [
+                    x
+                    for c in m.payload_cols
+                    for x in (
+                        f"{c} {'timestamp' if c == 'ts' else 'string'}",
+                        f"_l_{c} long",
+                    )
+                ]
+            )
+            return spark.createDataFrame([], schema=schema)
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        return lww._align(df.drop(BUCKET_COL), m.payload_cols)
+
+    def visible(self, spark: SparkSession) -> DataFrame:
+        m = self.manifest()
+        return lww.visible(self.read_registers(spark), m.payload_cols)
+
+    # ---------- MERGE ----------
+
+    def is_committed(self, fence_key: str) -> bool:
+        return fence_key in self.manifest().committed
+
+    def merge_batch(
+        self,
+        spark: SparkSession,
+        events: DataFrame,
+        fence_key: str,
+        batch_id: str | None = None,
+        epoch_id: int = -1,
+    ) -> bool:
+        """Apply one declarative change batch as an atomic, fenced commit.
+
+        Returns False (structural no-op) if the fence key was already
+        committed — the exactly-once re-delivery path.
+        """
+        m = self.manifest()
+        if fence_key in m.committed:
+            return False
+        n_buckets = m.n_buckets
+
+        # additive schema evolution: promote columns demanded by the batch
+        max_sv_row = events.agg(F.max("schema_version")).first()
+        max_sv = max_sv_row[0] if max_sv_row and max_sv_row[0] else 1
+        payload_cols = list(m.payload_cols)
+        for c in promoted_columns(int(max_sv)):
+            if c not in payload_cols:
+                payload_cols.append(c)
+
+        promoted = [c for c in payload_cols if c not in PAYLOAD_COLUMNS]
+        good, dead1 = resolve.validate(events, promoted)
+        good = good.persist()
+
+        # move-source resolution against pre-batch visible state — prune to
+        # the buckets that can contain sources (CDC "read table to resolve")
+        has_moves = good.filter(F.col("op") == "move").limit(1).count() > 0
+        if has_moves:
+            src_buckets = {
+                r[0]
+                for r in good.filter(F.col("op") == "move")
+                .select(
+                    F.pmod(F.xxhash64(F.col("src_conv_id")), F.lit(n_buckets))
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+            pre_visible = lww.visible(
+                self.read_registers(spark, buckets=src_buckets), payload_cols
+            )
+        else:
+            pre_visible = lww.visible(
+                self.read_registers(spark, buckets=set()), payload_cols
+            )
+        normalized, dead2 = resolve.expand_moves(good, pre_visible, payload_cols)
+        normalized = normalized.persist()
+
+        bregs = lww.batch_registers(normalized, payload_cols).persist()
+        touched = {
+            r[0]
+            for r in bregs.select(bucket_expr(n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        }
+        state = self.read_registers(spark, buckets=touched)
+        # Full-outer joins cannot broadcast a side; the join is still
+        # bucket-pruned (touched buckets only) and AQE right-sizes it.
+        combined = lww.combine_registers(state, bregs, payload_cols)
+
+        new_files = self._write_register_files(
+            combined, n_buckets, tag=f"e{epoch_id}"
+        )
+        # lineage metrics (the ReorderFiles result summary, grown to a table)
+        lin = [
+            {
+                "fence_key": fence_key,
+                "epoch_id": epoch_id,
+                "batch_id": batch_id,
+                "partition_id": int(r["partition_id"]),
+                "events_applied": int(r["events_applied"]),
+                "upserts": int(r["upserts"]),
+                "deletes": int(r["deletes"]),
+            }
+            for r in batch_lineage(normalized).collect()
+        ]
+        dead = dead1.select("lsn", "batch_id", "op", "reason").unionByName(
+            dead2.select("lsn", "batch_id", "op", "reason")
+        )
+        dl_count = dead.count()
+        dl_files: list[dict] = []
+        if dl_count:
+            commit_id = uuid.uuid4().hex[:12]
+            dl_path = os.path.join(self.data_dir, f"dl-{commit_id}")
+            dead.coalesce(1).write.mode("overwrite").parquet(dl_path)
+            dl_files.append({"path": dl_path, "rows": dl_count})
+        lin.append(
+            {
+                "fence_key": fence_key,
+                "epoch_id": epoch_id,
+                "batch_id": batch_id,
+                "partition_id": -1,
+                "events_applied": 0,
+                "upserts": 0,
+                "deletes": 0,
+                "dead_lettered": dl_count,
+            }
+        )
+
+        kept = [f for f in m.files if f["bucket"] not in touched]
+        new_manifest = Manifest(
+            version=m.version + 1,
+            payload_cols=payload_cols,
+            n_buckets=n_buckets,
+            files=kept + new_files,
+            committed={**m.committed, fence_key: m.version + 1},
+            lineage=m.lineage + lin,
+            dead_letter_files=m.dead_letter_files + dl_files,
+        )
+        self._write_manifest(new_manifest)
+        good.unpersist()
+        normalized.unpersist()
+        bregs.unpersist()
+        return True
+
+    # ---------- maintenance / introspection ----------
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        m = self.manifest()
+        schema = (
+            "fence_key string, epoch_id long, batch_id string, "
+            "partition_id int, events_applied long, upserts long, "
+            "deletes long, dead_lettered long"
+        )
+        rows = [
+            (
+                r.get("fence_key"),
+                int(r.get("epoch_id", -1)),
+                r.get("batch_id"),
+                int(r.get("partition_id", -1)),
+                int(r.get("events_applied", 0)),
+                int(r.get("upserts", 0)),
+                int(r.get("deletes", 0)),
+                int(r.get("dead_lettered", 0)),
+            )
+            for r in m.lineage
+        ]
+        return spark.createDataFrame(rows, schema=schema)
+
+    def dead_letters(self, spark: SparkSession) -> DataFrame:
+        m = self.manifest()
+        paths = [f["path"] for f in m.dead_letter_files]
+        if not paths:
+            return spark.createDataFrame(
+                [], schema="lsn long, batch_id string, op string, reason string"
+            )
+        return spark.read.parquet(*paths)
+
+    def vacuum(self) -> int:
+        """Delete files not referenced by HEAD (orphans from crashed
+        commits) and leftover staging dirs — the deleteOcrWorkFiles
+        analogue (ReorderFiles.kt:276-298)."""
+        m = self.manifest()
+        referenced = {f["path"] for f in m.files}
+        for d in m.dead_letter_files:
+            referenced.add(d["path"])
+        removed = 0
+        for fn in os.listdir(self.data_dir):
+            p = os.path.join(self.data_dir, fn)
+            if p not in referenced:
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.remove(p)
+                removed += 1
+        shutil.rmtree(self.staging_dir, ignore_errors=True)
+        return removed
+
+    def compact_tombstones(self, spark: SparkSession, lsn_watermark: int) -> None:
+        """Rewrite all buckets dropping tombstones below the watermark —
+        bounds register state over unbounded replays."""
+        m = self.manifest()
+        regs = lww.compact(
+            self.read_registers(spark), m.payload_cols, lsn_watermark
+        )
+        files = self._write_register_files(regs, m.n_buckets, tag="compact")
+        new_manifest = Manifest(
+            version=m.version + 1,
+            payload_cols=m.payload_cols,
+            n_buckets=m.n_buckets,
+            files=files,
+            committed=m.committed,
+            lineage=m.lineage,
+            dead_letter_files=m.dead_letter_files,
+        )
+        self._write_manifest(new_manifest)

@@ -1,0 +1,125 @@
+"""LakeTable MERGE + fenced commits + streaming exactly-once resume.
+
+These are the engine analogues of the reference's integration suite:
+idempotent re-apply (no-temp-keys invariant RenameS3UtilsTest.kt:259,
+state-restored-after-failure ReorderFilesTest.kt:319-345) and
+kill-mid-stream/restart-without-dupes-or-gaps (NiFi queue persistence)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from nifi_tekst_bundle_spark import fixtures, oracle
+from nifi_tekst_bundle_spark.streaming import runner
+from nifi_tekst_bundle_spark.table.lake import LakeTable
+
+from .conftest import normalize_frame, spark_events, spark_seed
+
+
+@pytest.fixture(scope="module")
+def scenario():
+    seed = fixtures.make_seed_transcripts(n_convs=20, max_turns=6)
+    log = fixtures.make_event_log(
+        seed, fixtures.EventLogConfig(n_batches=4, events_per_batch=60)
+    )
+    ora = oracle.replay(seed, log.batches)
+    return seed, log, ora
+
+
+def check_final(spark, table: LakeTable, ora) -> None:
+    got = normalize_frame(table.visible(spark).toPandas())
+    want = normalize_frame(ora.state)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_merge_batches_match_oracle(spark, tmp_path, scenario):
+    seed, log, ora = scenario
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), seed_df=spark_seed(spark, seed), n_buckets=8
+    )
+    for i, b in enumerate(log.batches):
+        applied = table.merge_batch(
+            spark, spark_events(spark, b), fence_key=f"r/e{i}/b", epoch_id=i
+        )
+        assert applied
+    check_final(spark, table, ora)
+    # dead letters recorded
+    assert table.dead_letters(spark).count() == len(ora.dead_letters)
+    # lineage has one row set per fenced commit
+    lin = table.lineage_df(spark).toPandas()
+    assert set(lin["fence_key"]) == {f"r/e{i}/b" for i in range(len(log.batches))}
+
+
+def test_fence_makes_reapply_noop(spark, tmp_path, scenario):
+    seed, log, ora = scenario
+    table = LakeTable.create(
+        spark, str(tmp_path / "t2"), seed_df=spark_seed(spark, seed), n_buckets=8
+    )
+    for i, b in enumerate(log.batches):
+        table.merge_batch(spark, spark_events(spark, b), fence_key=f"r/e{i}/b", epoch_id=i)
+    v_before = table.manifest().version
+    # re-deliver every batch (incl. move-containing ones) — all fenced out
+    for i, b in enumerate(log.batches):
+        applied = table.merge_batch(
+            spark, spark_events(spark, b), fence_key=f"r/e{i}/b", epoch_id=i
+        )
+        assert not applied
+    assert table.manifest().version == v_before
+    check_final(spark, table, ora)
+
+
+def test_streaming_end_to_end(spark, tmp_path, scenario):
+    seed, log, ora = scenario
+    events_dir = str(tmp_path / "events")
+    fixtures.write_event_log_parquet(log, events_dir)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t3"), seed_df=spark_seed(spark, seed), n_buckets=8
+    )
+    stats = runner.run_to_completion(
+        spark, events_dir, table, str(tmp_path / "ckpt3"), run_id="r1"
+    )
+    assert stats.batches_applied == len(log.batches)
+    check_final(spark, table, ora)
+
+
+def test_streaming_crash_resume_exactly_once(spark, tmp_path, scenario):
+    """Kill mid-stream after 2 commits, restart from checkpoint: final state
+    equals the oracle, nothing double-applied."""
+    seed, log, ora = scenario
+    events_dir = str(tmp_path / "events4")
+    fixtures.write_event_log_parquet(log, events_dir)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t4"), seed_df=spark_seed(spark, seed), n_buckets=8
+    )
+    ckpt = str(tmp_path / "ckpt4")
+    stats1 = runner.run_to_completion(
+        spark, events_dir, table, ckpt, run_id="r1", fail_after=[2]
+    )
+    assert stats1.batches_applied == 2
+    stats2 = runner.run_to_completion(spark, events_dir, table, ckpt, run_id="r1")
+    # the re-delivered epoch hits the fence; the rest apply exactly once
+    assert stats2.batches_skipped >= 0
+    assert stats1.batches_applied + stats2.batches_applied - stats2.batches_skipped <= len(log.batches)
+    check_final(spark, table, ora)
+    # every producer batch committed exactly once
+    committed = table.manifest().committed
+    bids = sorted(k.split("/")[-1] for k in committed)
+    assert bids == sorted(b["batch_id"].iloc[0] for b in log.batches)
+
+
+def test_vacuum_and_compact(spark, tmp_path, scenario):
+    seed, log, ora = scenario
+    table = LakeTable.create(
+        spark, str(tmp_path / "t5"), seed_df=spark_seed(spark, seed), n_buckets=4
+    )
+    for i, b in enumerate(log.batches):
+        table.merge_batch(spark, spark_events(spark, b), fence_key=f"r/e{i}/b", epoch_id=i)
+    removed = table.vacuum()
+    assert removed >= 0
+    check_final(spark, table, ora)  # vacuum never touches referenced data
+    max_lsn = int(log.all_events()["lsn"].max())
+    table.compact_tombstones(spark, lsn_watermark=max_lsn + 1)
+    check_final(spark, table, ora)  # compaction preserves visible state
+    table.vacuum()
+    check_final(spark, table, ora)
