@@ -46,16 +46,24 @@ HEADLINE = [
     "ann_topk",
 ]
 
-# replicate the derived event log so the CDC apply job is large enough to
-# exercise shuffle parallelism at bench scale
-CDC_MULTIPLIER = int(os.environ.get("BENCH_CDC_MULTIPLIER", "400"))
+# replicate the derived change log so the CDC apply job is large enough that
+# per-run fixed overhead (planning, stage scheduling, AQE replans — measured
+# ~1.8 s/run on this sandbox) is small against the parallel region; at x400
+# the 32-core run was overhead-dominated and efficiency read artificially low
+CDC_MULTIPLIER = int(os.environ.get("BENCH_CDC_MULTIPLIER", "1600"))
+
+# scaling trials fix the shuffle-partition count across core configs so every
+# config runs the identical logical plan (AQE still right-sizes at runtime);
+# tying partitions to cores conflates partition-size effects (a 5M-row
+# per-partition sort at local[8] spills) with genuine CPU scaling
+SCALING_PARTITIONS = int(os.environ.get("BENCH_SCALING_PARTITIONS", "64"))
 
 
-def make_spark(cpus: int) -> SparkSession:
+def make_spark(cpus: int, parts: int | None = None) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions", str(parts or max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -147,17 +155,22 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
     """
     ev_dir = materialize_events(sf_dir, CDC_MULTIPLIER)
     n_events = None
-    pairs = [(max(cpus // 8, 2), max(cpus // 2, 8)), (max(cpus // 4, 2), cpus)]
+    # one N→4N pair (the north-rule shape); a second lower pair at this
+    # input size would double the scaling-run wall time for no extra signal
+    pairs = [(max(cpus // 4, 2), cpus)]
     cores_list = sorted({c for p in pairs for c in p})
     times: dict[int, list] = {c: [] for c in cores_list}
-    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
+    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
     for _ in range(trials):
         for c in cores_list:
-            spark = make_spark(c)
+            spark = make_spark(c, parts=SCALING_PARTITIONS)
             try:
                 if n_events is None:
                     n_events = spark.read.parquet(ev_dir).count()
-                force(spark.read.parquet(ev_dir).limit(50000))  # warm
+                # full untimed warmup apply: first execution per JVM pays
+                # JIT + codegen + parquet-footer + page-cache costs that
+                # have nothing to do with core-count scaling
+                apply_from_disk(spark, ev_dir)
                 times[c].append(apply_from_disk(spark, ev_dir))
             finally:
                 spark.stop()
@@ -231,9 +244,12 @@ def write_baseline_md(scaling: dict, queries: dict, sf_dir: str) -> None:
         f"replicated x{CDC_MULTIPLIER} with unique lsns (same key space),",
         f"pre-materialized to parquet: **{scaling['events']:,} events**.",
         "Job: scan -> validate -> LWW registers -> visible state, fully",
-        "materialized via the noop sink. This sandbox is a shared VM with",
-        f"CPU-steal variance, so each config reports the MIN of",
-        f"{scaling['trials']} interleaved trials.",
+        "materialized via the noop sink. Every config runs the identical",
+        f"logical plan ({SCALING_PARTITIONS} shuffle partitions, AQE on); each",
+        "session does one full untimed warmup apply (JIT/codegen/page-cache),",
+        "then timed trials. This sandbox is a shared VM with CPU-steal",
+        f"variance, so each config reports the MIN of {scaling['trials']}",
+        "interleaved trials.",
         "",
         "## North-rule scaling criterion (sandbox evidence)",
         "",

@@ -72,8 +72,17 @@ def apply_log(
 def batch_lineage(
     normalized: DataFrame,
 ) -> DataFrame:
-    """Per-partition lineage counts for the metrics table (the grown-up
-    version of the ReorderFiles result summary, ReorderFiles.kt:396-406)."""
+    """Per-partition lineage counts + event-time bounds for the metrics
+    table (the grown-up version of the ReorderFiles result summary,
+    ReorderFiles.kt:396-406).
+
+    min_ts/max_ts bound each partition's event time; the caller derives the
+    epoch watermark (max over partitions) and per-partition watermark lag
+    (watermark − min_ts) from them. Event-time based, never wall-clock, so
+    replays report identical metrics (SURVEY.md §4 determinism rule).
+    """
+    cols = normalized.columns
+    ts = F.col("ts") if "ts" in cols else F.lit(None).cast("timestamp")
     return (
         normalized.withColumn("partition_id", F.spark_partition_id())
         .groupBy("partition_id")
@@ -81,5 +90,7 @@ def batch_lineage(
             F.count("*").alias("events_applied"),
             F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)).alias("upserts"),
             F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
+            F.min(ts).alias("min_ts"),
+            F.max(ts).alias("max_ts"),
         )
     )

@@ -278,7 +278,14 @@ class LakeTable:
         new_files = self._write_register_files(
             combined, n_buckets, tag=f"e{epoch_id}"
         )
-        # lineage metrics (the ReorderFiles result summary, grown to a table)
+        # lineage metrics (the ReorderFiles result summary, grown to a table);
+        # watermark = epoch max event-time, lag = watermark − partition min
+        # event-time — event-time based so replay reproduces metrics exactly
+        lin_rows = batch_lineage(normalized).collect()
+        wm = max(
+            (r["max_ts"] for r in lin_rows if r["max_ts"] is not None),
+            default=None,
+        )
         lin = [
             {
                 "fence_key": fence_key,
@@ -288,8 +295,14 @@ class LakeTable:
                 "events_applied": int(r["events_applied"]),
                 "upserts": int(r["upserts"]),
                 "deletes": int(r["deletes"]),
+                "watermark_ts": wm.isoformat() if wm is not None else None,
+                "max_lag_seconds": (
+                    (wm - r["min_ts"]).total_seconds()
+                    if wm is not None and r["min_ts"] is not None
+                    else None
+                ),
             }
-            for r in batch_lineage(normalized).collect()
+            for r in lin_rows
         ]
         dead = dead1.select("lsn", "batch_id", "op", "reason").unionByName(
             dead2.select("lsn", "batch_id", "op", "reason")
@@ -337,7 +350,8 @@ class LakeTable:
         schema = (
             "fence_key string, epoch_id long, batch_id string, "
             "partition_id int, events_applied long, upserts long, "
-            "deletes long, dead_lettered long"
+            "deletes long, dead_lettered long, watermark_ts string, "
+            "max_lag_seconds double"
         )
         rows = [
             (
@@ -349,6 +363,8 @@ class LakeTable:
                 int(r.get("upserts", 0)),
                 int(r.get("deletes", 0)),
                 int(r.get("dead_lettered", 0)),
+                r.get("watermark_ts"),
+                r.get("max_lag_seconds"),
             )
             for r in m.lineage
         ]

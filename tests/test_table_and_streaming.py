@@ -49,6 +49,15 @@ def test_merge_batches_match_oracle(spark, tmp_path, scenario):
     # lineage has one row set per fenced commit
     lin = table.lineage_df(spark).toPandas()
     assert set(lin["fence_key"]) == {f"r/e{i}/b" for i in range(len(log.batches))}
+    # per-partition watermark lag: event-time based, non-negative, present
+    # on every data partition row (north-rule lineage metric)
+    data_rows = lin[lin["partition_id"] >= 0]
+    assert data_rows["watermark_ts"].notna().all()
+    # lag is null for partitions whose rows carry no event-time (e.g. only
+    # move-expanded source deletes); where present it is non-negative
+    lag = data_rows["max_lag_seconds"].astype(float)
+    assert lag.notna().any()
+    assert (lag.dropna() >= 0).all()
 
 
 def test_fence_makes_reapply_noop(spark, tmp_path, scenario):
@@ -106,6 +115,49 @@ def test_streaming_crash_resume_exactly_once(spark, tmp_path, scenario):
     committed = table.manifest().committed
     bids = sorted(k.split("/")[-1] for k in committed)
     assert bids == sorted(b["batch_id"].iloc[0] for b in log.batches)
+
+
+def test_submit_entrypoint_exactly_once(spark, tmp_path, scenario):
+    """The spark-submit CLI path: package --py-files zip, run the apply
+    job twice; second run is a structural no-op (exactly-once at the
+    deployment surface)."""
+    import sys
+    from pathlib import Path
+
+    scripts_dir = str(Path(__file__).resolve().parents[1] / "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        import package_pyfiles
+        import submit_apply
+    finally:
+        sys.path.remove(scripts_dir)
+
+    zip_path = package_pyfiles.build(str(tmp_path / "engine.zip"))
+    import zipfile
+
+    names = zipfile.ZipFile(zip_path).namelist()
+    assert "nifi_tekst_bundle_spark/operators/lww.py" in names
+    assert not any(n.startswith("tests/") for n in names)
+
+    seed, log, ora = scenario
+    events_dir = str(tmp_path / "events_cli")
+    fixtures.write_event_log_parquet(log, events_dir)
+    seed_pq = str(tmp_path / "seed.parquet")
+    spark_seed(spark, seed).write.mode("overwrite").parquet(seed_pq)
+    argv = [
+        "--events", events_dir,
+        "--table", str(tmp_path / "t_cli"),
+        "--checkpoint", str(tmp_path / "ckpt_cli"),
+        "--seed", seed_pq,
+        "--n-buckets", "8",
+    ]
+    assert submit_apply.main(argv) == 0
+    table = LakeTable.load(str(tmp_path / "t_cli"))
+    check_final(spark, table, ora)
+    v1 = table.manifest().version
+    assert submit_apply.main(argv) == 0  # re-run: fenced/checkpointed no-op
+    assert LakeTable.load(str(tmp_path / "t_cli")).manifest().version == v1
+    check_final(spark, table, ora)
 
 
 def test_vacuum_and_compact(spark, tmp_path, scenario):
