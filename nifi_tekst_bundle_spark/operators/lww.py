@@ -45,6 +45,14 @@ def batch_registers(normalized: DataFrame, payload_cols: list[str]) -> DataFrame
     ``max(when(value is not null, struct(lsn, value)))`` IS the highest-lsn
     non-null assignment.
     """
+    return batch_registers_grouped(normalized, payload_cols, KEY)
+
+
+def batch_registers_grouped(
+    normalized: DataFrame, payload_cols: list[str], group_cols: list[str]
+) -> DataFrame:
+    """:func:`batch_registers` over an arbitrary grouping (the salted
+    two-phase path groups on KEY + salt)."""
     is_del = F.col("op") == "delete"
     aggs = [
         F.coalesce(F.max(F.when(~is_del, F.col("lsn"))), F.lit(-1)).alias("_lsn_up"),
@@ -59,9 +67,9 @@ def batch_registers(normalized: DataFrame, payload_cols: list[str]) -> DataFrame
                 )
             ).alias(f"_m_{c}")
         )
-    agg = normalized.groupBy(*KEY).agg(*aggs)
+    agg = normalized.groupBy(*group_cols).agg(*aggs)
     out = agg.select(
-        *KEY,
+        *group_cols,
         "_lsn_up",
         "_lsn_del",
         *[
@@ -74,6 +82,55 @@ def batch_registers(normalized: DataFrame, payload_cols: list[str]) -> DataFrame
         ],
     )
     return out
+
+
+def salted_batch_registers(
+    normalized: DataFrame,
+    payload_cols: list[str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-proof variant of :func:`batch_registers`: two-phase aggregation
+    salted on ``lsn`` (deterministic — never random, replays are stable).
+
+    Phase 1 aggregates on (key, salt), spreading a hot key over ``n_salts``
+    shuffle partitions; phase 2 merges the ≤``n_salts`` partial registers
+    per key. Exact by construction — the register merge (max / argmax-by-
+    lsn) is associative and commutative, the same property that makes
+    micro-batch boundaries invisible. Use when per-batch hot-key detection
+    (operators.skew.detect_hot_keys) fires; the plain single-agg path is
+    cheaper for unskewed batches (AQE splits skewed joins but not skewed
+    aggregations, SURVEY.md §4)."""
+    salt = F.pmod(F.xxhash64(F.col("lsn")), F.lit(n_salts)).cast("int")
+    partial = batch_registers_grouped(
+        normalized.withColumn("_salt", salt), payload_cols, KEY + ["_salt"]
+    )
+    aggs = [
+        F.max("_lsn_up").alias("_lsn_up"),
+        F.max("_lsn_del").alias("_lsn_del"),
+    ]
+    for c in payload_cols:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col(f"_l_{c}") >= 0,
+                    F.struct(F.col(f"_l_{c}").alias("l"), F.col(c).alias("v")),
+                )
+            ).alias(f"_m_{c}")
+        )
+    merged = partial.groupBy(*KEY).agg(*aggs)
+    return merged.select(
+        *KEY,
+        "_lsn_up",
+        "_lsn_del",
+        *[
+            x
+            for c in payload_cols
+            for x in (
+                F.col(f"_m_{c}.v").alias(c),
+                F.coalesce(F.col(f"_m_{c}.l"), F.lit(-1)).alias(f"_l_{c}"),
+            )
+        ],
+    )
 
 
 def seed_registers(seed_df: DataFrame, payload_cols: list[str]) -> DataFrame:

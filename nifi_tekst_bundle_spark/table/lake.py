@@ -215,11 +215,19 @@ class LakeTable:
         fence_key: str,
         batch_id: str | None = None,
         epoch_id: int = -1,
+        hot_key_threshold: int | None = None,
+        n_salts: int = 8,
     ) -> bool:
         """Apply one declarative change batch as an atomic, fenced commit.
 
         Returns False (structural no-op) if the fence key was already
         committed — the exactly-once re-delivery path.
+
+        ``hot_key_threshold``: when set, a cheap per-key count (map-side
+        combinable, skew-safe) probes the batch; if any (conv_id, turn_idx)
+        key exceeds the threshold the register aggregation runs the salted
+        two-phase path (lww.salted_batch_registers) so a hot conversation
+        cannot pin an epoch to one shuffle partition.
         """
         m = self.manifest()
         if fence_key in m.committed:
@@ -263,7 +271,21 @@ class LakeTable:
         normalized, dead2 = resolve.expand_moves(good, pre_visible, payload_cols)
         normalized = normalized.persist()
 
-        bregs = lww.batch_registers(normalized, payload_cols).persist()
+        salted = False
+        if hot_key_threshold is not None:
+            row = (
+                normalized.groupBy(*lww.KEY)
+                .count()
+                .agg(F.max("count"))
+                .first()
+            )
+            salted = bool(row and row[0] and row[0] > hot_key_threshold)
+        if salted:
+            bregs = lww.salted_batch_registers(
+                normalized, payload_cols, n_salts=n_salts
+            ).persist()
+        else:
+            bregs = lww.batch_registers(normalized, payload_cols).persist()
         touched = {
             r[0]
             for r in bregs.select(bucket_expr(n_buckets).alias("b"))

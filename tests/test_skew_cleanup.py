@@ -63,6 +63,70 @@ def test_salted_agg_matches_plain_agg(spark):
     assert plain == salted
 
 
+def test_salted_batch_registers_exact(spark):
+    """The salted two-phase LWW aggregation is EXACT (associative merge):
+    same registers as the single-agg path on a pathologically hot key,
+    including deletes and null payload columns."""
+    from nifi_tekst_bundle_spark.operators import lww
+
+    ev = spark.range(3000).select(
+        (F.col("id") + 1).alias("lsn"),
+        F.lit("b0").alias("batch_id"),
+        F.when(F.col("id") % 11 == 0, F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.lit("conv-hot").alias("conv_id"),
+        (F.col("id") % 3).cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 2 == 0, F.concat(F.lit("t"), F.col("id"))).alias(
+            "text"
+        ),
+        F.when(F.col("id") % 5 == 0, F.lit("toolx")).alias("tool"),
+    )
+    cols = ["text", "tool"]
+    plain = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in lww.batch_registers(ev, cols).collect()
+    }
+    for n_salts in (2, 8):
+        salted = {
+            (r["conv_id"], r["turn_idx"]): r.asDict()
+            for r in lww.salted_batch_registers(ev, cols, n_salts=n_salts).collect()
+        }
+        assert salted == plain
+
+
+def test_merge_batch_salted_path_matches(spark, tmp_path):
+    """merge_batch with hot-key detection enabled produces the same table
+    as the plain path."""
+    from nifi_tekst_bundle_spark import fixtures
+    from nifi_tekst_bundle_spark.table.lake import LakeTable
+    from .conftest import spark_events, spark_seed
+
+    seed = fixtures.make_seed_transcripts(n_convs=6, max_turns=4)
+    log = fixtures.make_event_log(
+        seed,
+        fixtures.EventLogConfig(
+            n_batches=2, events_per_batch=80, hot_fraction=0.9, n_hot=1
+        ),
+    )
+    outs = []
+    for name, thresh in (("plain", None), ("salted", 1)):
+        t = LakeTable.create(
+            spark, str(tmp_path / name), seed_df=spark_seed(spark, seed), n_buckets=4
+        )
+        for i, b in enumerate(log.batches):
+            t.merge_batch(
+                spark, spark_events(spark, b), fence_key=f"r/e{i}",
+                epoch_id=i, hot_key_threshold=thresh,
+            )
+        outs.append(
+            sorted(
+                tuple(r) for r in t.visible(spark).collect()
+            )
+        )
+    assert outs[0] == outs[1]
+
+
 def test_cascade_cleanup(spark):
     pre = spark.createDataFrame([("c1",), ("c2",), ("c3",)], ["conv_id"])
     post = spark.createDataFrame(
