@@ -810,6 +810,86 @@ FROM embeddings
 """
 
 
+def _hyperplane_sig_sql(vec: str, n_planes: int) -> str:
+    """DuckDB replica of similarity.hyperplane_signature: sign bits of
+    hash-derived hyperplane projections (weights from md5, so both engines
+    compute bit-identical buckets)."""
+    bits = []
+    for p in range(n_planes):
+        w = (
+            f"((('0x' || substr(md5('plane{p}|' || CAST(i AS VARCHAR)), 1, 8))::INT64"
+            f" % 2000 - 1000) / 1000.0)"
+        )
+        proj = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(len({vec})),"
+            f" i -> {vec}[i+1] * {w})), (x, y) -> x + y)"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+LSH_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (SELECT vec_id, v, {_hyperplane_sig_sql('v', 4)} AS sig FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, sig FROM s WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, s.vec_id,
+    round({_DOT.format(a='s.v', b='q.qv')}
+          / ({_NRM.format(a='s.v')} * {_NRM.format(a='q.qv')}), 6) AS cos
+  FROM s JOIN q ON s.sig = q.sig
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via hyperplane-LSH buckets (the scale path: the
+    bucket equi-join replaces ann_topk's cross join at 1000x data)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.lsh_topk(emb, queries, k=5, n_planes=4).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+EMB_NEARDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (SELECT vec_id, v, {_hyperplane_sig_sql('v', 4)} AS sig FROM e),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({_DOT.format(a='a.v', b='b.v')}
+          / ({_NRM.format(a='a.v')} * {_NRM.format(a='b.v')}), 6) AS cos
+  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.2
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates, LSH-bucketed (never O(n²))."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return dedup.embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.2, n_planes=4
+    )
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
@@ -850,6 +930,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "docs_simhash": q_docs_simhash,
     "ann_topk": q_ann_topk,
+    "lsh_topk": q_lsh_topk,
+    "embedding_neardup": q_embedding_neardup,
     "embedding_norms": q_embedding_norms,
 }
 
@@ -879,5 +961,7 @@ ORACLES: dict[str, str] = {
     "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
     "docs_simhash": DOCS_SIMHASH_SQL,
     "ann_topk": ANN_TOPK_SQL,
+    "lsh_topk": LSH_TOPK_SQL,
+    "embedding_neardup": EMB_NEARDUP_SQL,
     "embedding_norms": EMBEDDING_NORMS_SQL,
 }
