@@ -688,7 +688,13 @@ DOCS_MINHASH_SQL = _minhash_sql()
 
 
 def q_docs_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    # minhash_signature is a pure narrow projection (no shuffle); the test
+    # tables are single-row-group parquet files, so spread the scan first —
+    # one cheap round-robin shuffle of raw rows, then embarrassingly
+    # parallel hashing (a real corpus scan already has many partitions)
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return dedup.minhash_signature(docs, "doc_id", "text", n_hashes=4, k=3)
 
 
