@@ -766,7 +766,11 @@ DOCS_SIMHASH_SQL = _simhash_sql()
 
 
 def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    # narrow projection — spread the single-row-group test file first
+    # (same rationale as q_docs_minhash_sig)
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return dedup.simhash64(docs, "doc_id", "text")
 
 
