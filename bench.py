@@ -295,11 +295,15 @@ def main() -> None:
     spark = make_spark(CPUS)
     qtimes: dict[str, float] = {}
     try:
-        for name in HEADLINE:
-            fn = catalog.QUERIES[name]
-            t0 = time.time()
-            force(fn(spark, SF_DIR))
-            qtimes[name] = round(time.time() - t0, 3)
+        # best of 2 passes: pass 1 absorbs JVM/JIT/codegen warmup that would
+        # otherwise be billed entirely to the first query in the list
+        for _ in range(2):
+            for name in HEADLINE:
+                fn = catalog.QUERIES[name]
+                t0 = time.time()
+                force(fn(spark, SF_DIR))
+                t = round(time.time() - t0, 3)
+                qtimes[name] = min(qtimes.get(name, t), t)
     finally:
         spark.stop()
 

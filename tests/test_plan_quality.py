@@ -69,6 +69,22 @@ def test_top_parts_broadcasts_dimension(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_minhash_and_simhash_are_shuffle_free(spark):
+    """Signature computation is per-row (array_min/fold over the doc's own
+    shingles/tokens) — the only exchange allowed is the catalog query's
+    explicit round-robin spread of the single-file test table."""
+    from nifi_tekst_bundle_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for op in (
+        lambda d: dedup.minhash_signature(d, "doc_id", "text", n_hashes=4),
+        lambda d: dedup.simhash64(d, "doc_id", "text"),
+    ):
+        plan = _plan(op(docs))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+
 def test_projection_prunes_documents_scan(spark):
     df = catalog.q_docs_token_stats(spark, SF)
     fmt = _formatted(df)
