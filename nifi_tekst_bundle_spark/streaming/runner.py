@@ -43,9 +43,12 @@ class StreamStats:
 
 
 def make_apply_fn(table: LakeTable, run_id: str, stats: StreamStats,
-                  fail_after: list[int] | None = None):
+                  fail_after: list[int] | None = None,
+                  hot_key_threshold: int | None = None):
     """foreachBatch body. ``fail_after`` injects a crash after N sub-batch
-    commits (failure-injection tests — ReorderFilesTest.kt:319-345)."""
+    commits (failure-injection tests — ReorderFilesTest.kt:319-345).
+    ``hot_key_threshold`` enables per-batch hot-key detection + salted
+    two-phase aggregation in the merge (see LakeTable.merge_batch)."""
 
     def apply_epoch(epoch_df: DataFrame, epoch_id: int) -> None:
         stats.epochs_seen += 1
@@ -61,6 +64,7 @@ def make_apply_fn(table: LakeTable, run_id: str, stats: StreamStats,
                 applied = table.merge_batch(
                     epoch_df.sparkSession, sub, fence_key=fence,
                     batch_id=bid, epoch_id=epoch_id,
+                    hot_key_threshold=hot_key_threshold,
                 )
                 if applied:
                     stats.batches_applied += 1
@@ -83,6 +87,7 @@ def run_to_completion(
     run_id: str = "run",
     max_files_per_trigger: int = 1,
     fail_after: list[int] | None = None,
+    hot_key_threshold: int | None = None,
 ) -> StreamStats:
     """Consume everything currently in events_dir (Trigger.AvailableNow),
     applying fenced commits; returns stream stats. Re-invoking after a
@@ -94,7 +99,9 @@ def run_to_completion(
         .parquet(events_dir)
     )
     q = (
-        src.writeStream.foreachBatch(make_apply_fn(table, run_id, stats, fail_after))
+        src.writeStream.foreachBatch(
+            make_apply_fn(table, run_id, stats, fail_after, hot_key_threshold)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

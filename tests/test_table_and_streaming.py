@@ -160,6 +160,53 @@ def test_submit_entrypoint_exactly_once(spark, tmp_path, scenario):
     check_final(spark, table, ora)
 
 
+def test_windowed_metrics_with_watermark(spark, tmp_path, scenario):
+    """The watermarked streaming metrics aggregation: event-time windows
+    over the change stream, state bounded by the watermark; results equal
+    the same aggregation run in batch mode (AvailableNow processes
+    everything, so no late data is dropped here)."""
+    from pyspark.sql import functions as F
+
+    from nifi_tekst_bundle_spark.streaming import metrics
+
+    seed, log, ora = scenario
+    events_dir = str(tmp_path / "events_m")
+    fixtures.write_event_log_parquet(log, events_dir)
+    from nifi_tekst_bundle_spark.schemas import CHANGE_EVENT_SCHEMA
+
+    stream = (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA).parquet(events_dir)
+    )
+    out = metrics.windowed_event_metrics(stream, "10 minutes", "5 minutes")
+    # complete mode: append would withhold windows the watermark never
+    # passes (nothing arrives after the last event to advance it)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winmetrics")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_m"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("winmetrics")
+        .select("window_start", "op", "n_events")
+        .collect()
+    )
+    batch = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(events_dir)
+    want = (
+        batch.groupBy(F.window("ts", "5 minutes").alias("win"), "op")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "op", "n_events")
+        .collect()
+    )
+    key = lambda r: (r["window_start"], r["op"])  # noqa: E731
+    assert {key(r): r["n_events"] for r in got} == {
+        key(r): r["n_events"] for r in want
+    }
+
+
 def test_vacuum_and_compact(spark, tmp_path, scenario):
     seed, log, ora = scenario
     table = LakeTable.create(
