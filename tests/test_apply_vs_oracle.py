@@ -23,9 +23,13 @@ def run_both(spark, seed_pdf, log, max_sv=99):
     return got, want, dead, ora
 
 
-def test_full_mix_replay_equality(spark):
-    seed = fixtures.make_seed_transcripts(n_convs=30, max_turns=8)
-    log = fixtures.make_event_log(seed, fixtures.EventLogConfig(n_batches=5, events_per_batch=80))
+@pytest.mark.parametrize("rng_seed", [42, 7, 1234])
+def test_full_mix_replay_equality(spark, rng_seed):
+    seed = fixtures.make_seed_transcripts(n_convs=30, max_turns=8, seed=rng_seed)
+    log = fixtures.make_event_log(
+        seed,
+        fixtures.EventLogConfig(n_batches=5, events_per_batch=80, seed=rng_seed),
+    )
     got, want, dead, ora = run_both(spark, seed, log)
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
