@@ -568,6 +568,32 @@ def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOCS_NFC_SQL = r"""
+SELECT doc_id,
+  regexp_replace(nfc_normalize(text),
+                 '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g') AS text_norm,
+  length(regexp_replace(nfc_normalize(text),
+                 '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g')) AS n_chars_norm
+FROM documents
+"""
+
+
+def q_docs_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched pandas-UDF enrichment path (input_hint:
+    'vectorized pandas/Arrow UDFs (no per-row Python) throughout'),
+    oracle-checked: Unicode NFC + Cc-strip (keeps tab/newline) equals
+    DuckDB's nfc_normalize + an explicit Cc regex class."""
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    norm = tf.nfc_normalize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
 def _sw_list_sql() -> str:
     return "[" + ", ".join(f"'{w}'" for w in tf.STOPWORDS_EN) + "]"
 
@@ -933,6 +959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_projection": q_key_projection,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_token_stats": q_docs_token_stats,
+    "docs_nfc": q_docs_nfc,
     "docs_quality": q_docs_quality,
     "docs_lang_id": q_docs_lang_id,
     "docs_fingerprint": q_docs_fingerprint,
@@ -964,6 +991,7 @@ ORACLES: dict[str, str] = {
     "key_projection": KEY_PROJECTION_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_token_stats": DOCS_TOKEN_STATS_SQL,
+    "docs_nfc": DOCS_NFC_SQL,
     "docs_quality": DOCS_QUALITY_SQL,
     "docs_lang_id": DOCS_LANG_SQL,
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
