@@ -50,6 +50,11 @@ from ..operators.apply import batch_lineage
 BUCKET_COL = "_bucket"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same snapshot version first (optimistic
+    concurrency, Iceberg-style): re-read HEAD, re-resolve, retry."""
+
+
 def bucket_expr(n_buckets: int) -> F.Column:
     # xxhash64 is deterministic (fixed seed 42) across sessions/executors
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
@@ -129,12 +134,31 @@ class LakeTable:
             return Manifest.from_json(f.read())
 
     def _write_manifest(self, m: Manifest) -> None:
+        """Atomic snapshot commit with optimistic concurrency.
+
+        Iceberg-style CAS on the metadata pointer: the new manifest file is
+        created with O_EXCL (version-file creation IS the atomic
+        compare-and-swap — two writers committing from the same base race
+        on the same filename and exactly one wins), then HEAD is swapped.
+        A crash between the two steps leaves HEAD on the old version and
+        the new file an unreferenced orphan for vacuum() — never a torn
+        commit. The loser gets ConcurrentCommitError and must re-read,
+        re-resolve, retry (in the engine the streaming driver is the
+        single writer, so this only guards against misconfiguration)."""
         path = os.path.join(self.meta_dir, f"v{m.version:06d}.json")
-        tmp = path + ".tmp"
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(m.to_json())
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            os.remove(tmp)
+            raise ConcurrentCommitError(
+                f"snapshot v{m.version} already committed by another writer"
+            ) from None
+        os.close(fd)
         os.replace(tmp, path)
-        head_tmp = os.path.join(self.meta_dir, "HEAD.tmp")
+        head_tmp = os.path.join(self.meta_dir, f"HEAD.tmp-{uuid.uuid4().hex[:8]}")
         with open(head_tmp, "w") as f:
             f.write(str(m.version))
         os.replace(head_tmp, os.path.join(self.meta_dir, "HEAD"))
@@ -417,6 +441,15 @@ class LakeTable:
                     shutil.rmtree(p, ignore_errors=True)
                 else:
                     os.remove(p)
+                removed += 1
+        # crashed-commit recovery: manifest files beyond HEAD (a writer
+        # died between the CAS create and the HEAD swap) and leftover
+        # tmp files are orphans
+        for fn in os.listdir(self.meta_dir):
+            p = os.path.join(self.meta_dir, fn)
+            mm = re.match(r"v(\d+)\.json$", fn)
+            if ".tmp-" in fn or (mm and int(mm.group(1)) > m.version):
+                os.remove(p)
                 removed += 1
         shutil.rmtree(self.staging_dir, ignore_errors=True)
         return removed

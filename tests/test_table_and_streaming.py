@@ -160,6 +160,44 @@ def test_submit_entrypoint_exactly_once(spark, tmp_path, scenario):
     check_final(spark, table, ora)
 
 
+def test_concurrent_commit_cas(spark, tmp_path, scenario):
+    """Optimistic concurrency: two writers committing from the same base
+    manifest — exactly one wins, the loser raises, the table stays
+    consistent (winner's commit fully visible, no torn state)."""
+    import pytest as _pytest
+
+    from nifi_tekst_bundle_spark.table.lake import ConcurrentCommitError
+
+    seed, log, ora = scenario
+    table = LakeTable.create(
+        spark, str(tmp_path / "t_cas"), seed_df=spark_seed(spark, seed), n_buckets=4
+    )
+    stale = LakeTable.load(str(tmp_path / "t_cas"))  # second writer handle
+    b0 = spark_events(spark, log.batches[0])
+    assert table.merge_batch(spark, b0, fence_key="w1/e0", epoch_id=0)
+    # the stale writer read the manifest pre-commit inside merge_batch, so
+    # simulate the race at the manifest layer directly: same base version
+    m = stale.manifest()
+    m.version = m.version  # current HEAD version — next commit targets v+1
+    from nifi_tekst_bundle_spark.table.lake import Manifest
+
+    clash = Manifest(
+        version=m.version,  # already-taken version number
+        payload_cols=m.payload_cols,
+        n_buckets=m.n_buckets,
+        files=m.files,
+        committed=m.committed,
+        lineage=m.lineage,
+        dead_letter_files=m.dead_letter_files,
+    )
+    with _pytest.raises(ConcurrentCommitError):
+        stale._write_manifest(clash)
+    # winner's state intact; vacuum clears any tmp orphans
+    assert table.manifest().version == m.version
+    table.vacuum()
+    assert table.is_committed("w1/e0")
+
+
 def test_windowed_metrics_with_watermark(spark, tmp_path, scenario):
     """The watermarked streaming metrics aggregation: event-time windows
     over the change stream, state bounded by the watermark; results equal
