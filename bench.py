@@ -43,7 +43,10 @@ HEADLINE = [
     "docs_quality",
     "docs_minhash_sig",
     "docs_simhash",
+    "docs_nfc",
     "ann_topk",
+    "lsh_topk",
+    "embedding_neardup",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

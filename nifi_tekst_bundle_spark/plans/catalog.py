@@ -742,7 +742,7 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.shingles, b.shingles))
-      / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1) >= 0.1
+      / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1) > 0
 """
 
 
@@ -758,7 +758,7 @@ def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_union("sh_a", "sh_b")), F.lit(1)
     )
     return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= 0.1
+        F.col("jaccard") > 0
     )
 
 
