@@ -63,28 +63,35 @@ def brute_force_topk(
     )
 
 
-def _plane_weight(p: int, d: F.Column) -> F.Column:
+_MAX_DIMS = 512
+
+
+def _plane_weight_py(p: int, d: int) -> float:
     """Deterministic pseudo-random weight in [-1, 1): derived from
-    md5(p|d) — reproducible anywhere, incl. a SQL oracle."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"plane{p}|"), d.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return (h % 2000 - 1000).cast("double") / 1000.0
+    md5('plane{p}|{d}') — the exact formula a SQL oracle reproduces with
+    ('0x' || substr(md5(...), 1, 8))::INT64 % 2000."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane{p}|{d}".encode()).hexdigest()[:8], 16)
+    return (h % 2000 - 1000) / 1000.0
 
 
 def hyperplane_signature(vec: F.Column, n_planes: int = 8) -> F.Column:
     """Sign bits of n_planes hash-derived hyperplane projections, packed
-    into a string bucket key."""
+    into a string bucket key.
+
+    The weights are row-independent constants, so they are computed ONCE
+    driver-side (same md5 formula — bit-identical to the SQL oracle) and
+    shipped as array literals; the per-row work is a pure fold over the
+    vector. An earlier formulation computed md5 per (row, plane, dim)
+    inside the scan — ~n_planes × dims md5 calls per row of pure waste."""
     bits = []
     for p in range(n_planes):
+        w = F.array(
+            *[F.lit(_plane_weight_py(p, d)) for d in range(_MAX_DIMS)]
+        )
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x * _plane_weight(p, i),
-            ),
+            F.zip_with(F.slice(w, 1, F.size(vec)), vec, lambda a, b: a * b),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )

