@@ -69,6 +69,56 @@ def apply_log(
     return lww.visible(state, payload_cols), dead
 
 
+def _empty_visible(spark: SparkSession, payload_cols: list[str]) -> DataFrame:
+    ddl = ", ".join(
+        ["conv_id string", "turn_idx int"]
+        + [f"{c} {'timestamp' if c == 'ts' else 'string'}" for c in payload_cols]
+    )
+    return spark.createDataFrame([], schema=ddl)
+
+
+def apply_derived_log(
+    spark: SparkSession, good: DataFrame, payload_cols: list[str]
+) -> DataFrame:
+    """Batch-ordered apply of a validated change log (single DataFrame with
+    a ``batch_id`` column) honoring move semantics, without a LakeTable.
+
+    Maximal runs of consecutive move-free batches fold in ONE pass (LWW
+    registers are order-independent, so batch boundaries between them are
+    invisible); a move-containing batch resolves its move sources against
+    the visible state accumulated so far — the same pre-batch-state rule as
+    the reference's disk probe (ReorderFiles.kt:150-184) and the streaming
+    runner's run coalescing (streaming.runner.plan_runs). Returns the final
+    visible transcripts state."""
+    from ..streaming.runner import plan_runs  # local: avoids import cycle
+
+    info = (
+        good.groupBy("batch_id")
+        .agg(F.max((F.col("op") == "move").cast("int")).alias("m"))
+        .orderBy("batch_id")
+        .collect()
+    )
+    runs = plan_runs([(r["batch_id"], bool(r["m"])) for r in info])
+    regs: DataFrame | None = None
+    for run in runs:
+        sub = good.filter(F.col("batch_id").isin(run))
+        pre = (
+            _empty_visible(spark, payload_cols)
+            if regs is None
+            else lww.visible(regs, payload_cols)
+        )
+        normalized, _dead = resolve.expand_moves(sub, pre, payload_cols)
+        bregs = lww.batch_registers(normalized, payload_cols)
+        regs = (
+            bregs
+            if regs is None
+            else lww.combine_registers(regs, bregs, payload_cols)
+        )
+    if regs is None:
+        return _empty_visible(spark, payload_cols)
+    return lww.visible(regs, payload_cols)
+
+
 def batch_lineage(
     normalized: DataFrame,
 ) -> DataFrame:

@@ -180,6 +180,10 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     An explode → 60-conditional-sum groupBy formulation measured ~6×
     slower at sf0.1 (row-expansion overhead + shuffle), bit-identical
     output.
+
+    NULL-text rows are dropped (the fold yields a NULL simhash), matching
+    the explode→groupBy formulation and the SQL oracle's unnest, both of
+    which never emit a group for a NULL token array.
     """
     expr = F.expr(
         f"""
@@ -200,7 +204,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         CAST(0 AS BIGINT), (x, y) -> x + y)
     """
     )
-    return df.select(F.col(id_col), expr.alias("simhash"))
+    return df.select(F.col(id_col), expr.alias("simhash")).where(
+        F.col("simhash").isNotNull()
+    )
 
 
 def simhash_near_dups(

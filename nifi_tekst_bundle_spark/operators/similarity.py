@@ -84,7 +84,13 @@ def hyperplane_signature(vec: F.Column, n_planes: int = 8) -> F.Column:
     driver-side (same md5 formula — bit-identical to the SQL oracle) and
     shipped as array literals; the per-row work is a pure fold over the
     vector. An earlier formulation computed md5 per (row, plane, dim)
-    inside the scan — ~n_planes × dims md5 calls per row of pure waste."""
+    inside the scan — ~n_planes × dims md5 calls per row of pure waste.
+
+    Vectors wider than _MAX_DIMS fail loudly (raise_error) instead of
+    silently truncating the weight array: a truncated projection would
+    null-pad through zip_with, collapse every plane bit to '0', funnel all
+    rows into ONE bucket (O(n²) self-join downstream) and silently diverge
+    from the SQL oracle, which computes true weights for every dim."""
     bits = []
     for p in range(n_planes):
         w = F.array(
@@ -96,7 +102,15 @@ def hyperplane_signature(vec: F.Column, n_planes: int = 8) -> F.Column:
             lambda acc, v: acc + v,
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    return F.when(F.size(vec) <= _MAX_DIMS, F.concat(*bits)).otherwise(
+        F.raise_error(
+            F.printf(
+                F.lit("hyperplane_signature: vector has %d dims, max supported is %d"),
+                F.size(vec),
+                F.lit(_MAX_DIMS),
+            )
+        )
+    )
 
 
 def lsh_topk(

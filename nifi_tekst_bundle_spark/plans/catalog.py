@@ -39,11 +39,41 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def derive_change_events(
-    spark: SparkSession, sf_dir: str, include_invalid: bool = False
+    spark: SparkSession, sf_dir: str, include_invalid: bool = False,
+    include_moves: bool = False,
 ) -> DataFrame:
+    """Deterministic change log derived from the ``events`` table.
+
+    ``include_moves`` adds op='move' events (the reference's rename
+    instructions, RenameInstruction.kt:3-6), all landing in the LAST batch
+    (b04) so the pre-batch state they resolve against is the LWW fold of
+    batches b00..b03. The moves variant decouples turn_idx from the batch
+    number (turn = (event_id // 5) % 25 instead of event_id % 25 — the
+    latter pins each batch to a fixed turn-residue class, which would make
+    every move source unresolvable). Even movers move within their own
+    conversation with src_turn = (turn+10) % 25 — a permutation whose
+    5-cycles (t → t+10 → t+20 → t+5 → t+15 → t) generate swap/cycle
+    chains whose source deletes must be suppressed
+    (RenameS3Utils.kt:120-133); odd movers move cross-conversation from
+    their neighbor's conversation (ReorderFilesTest.kt:348-426). Moves
+    whose source is not visible pre-batch dead-letter
+    (missing_move_source), like the reference's missing-file hard error.
+    """
     ev = _read(spark, sf_dir, "events")
+    turn = (
+        (F.floor(F.col("event_id") / 5) % 25)
+        if include_moves
+        else (F.col("event_id") % 25)
+    )
+    is_move = (
+        (F.col("event_type") == "click")
+        & (F.col("user_id") % 3 == 0)
+        & (F.col("user_id") % 7 != 0)
+        & (F.col("event_id") % 5 == 4)
+    ) if include_moves else F.lit(False)
     op = (
-        F.when(F.col("event_type") == "error", F.lit("delete"))
+        F.when(is_move, F.lit("move"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
         .when(F.col("event_type") == "purchase", F.lit("update"))
         .otherwise(F.lit("insert"))
     )
@@ -59,6 +89,25 @@ def derive_change_events(
     ).otherwise(
         F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 6, "0"))
     )
+    src_conv = F.when(
+        is_move,
+        F.when(
+            F.col("user_id") % 2 == 0,
+            F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 6, "0")),
+        ).otherwise(
+            F.concat(
+                F.lit("conv-"),
+                F.lpad((F.col("user_id") - 1).cast("string"), 6, "0"),
+            )
+        ),
+    )
+    src_turn = F.when(
+        is_move,
+        F.when(
+            F.col("user_id") % 2 == 0,
+            ((turn + 10) % 25).cast("int"),
+        ).otherwise(turn.cast("int")),
+    )
     dec_text = F.concat(
         F.lit("v"),
         F.round(F.col("value"), 2).cast("decimal(18,2)").cast("string"),
@@ -70,9 +119,9 @@ def derive_change_events(
         ),
         op.alias("op"),
         conv.alias("conv_id"),
-        (F.col("event_id") % 25).cast("int").alias("turn_idx"),
-        F.lit(None).cast("string").alias("src_conv_id"),
-        F.lit(None).cast("int").alias("src_turn_idx"),
+        turn.cast("int").alias("turn_idx"),
+        src_conv.cast("string").alias("src_conv_id"),
+        src_turn.cast("int").alias("src_turn_idx"),
         F.when(F.col("event_type") != "error", F.col("event_type")).alias("role"),
         F.when((F.col("event_type") != "error") & (F.col("value") > 50), dec_text).alias(
             "text"
@@ -193,6 +242,119 @@ def q_cdc_streaming_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events.unpersist()
     return table.visible(spark)
+
+
+_EV_SQL_MOVES = """
+  SELECT event_id + 1 AS lsn,
+         'b' || lpad(CAST(event_id % 5 AS VARCHAR), 2, '0') AS batch_id,
+         CASE WHEN event_type = 'click' AND user_id % 3 = 0
+                   AND user_id % 7 <> 0 AND event_id % 5 = 4 THEN 'move'
+              WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'purchase' THEN 'update'
+              ELSE 'insert' END AS op,
+         CASE WHEN user_id % 7 = 0 AND event_type NOT IN ('error','purchase')
+              THEN NULL
+              ELSE 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') END AS conv_id,
+         CAST((event_id // 5) % 25 AS INT) AS turn_idx,
+         CASE WHEN event_type = 'click' AND user_id % 3 = 0
+                   AND user_id % 7 <> 0 AND event_id % 5 = 4 THEN
+           CASE WHEN user_id % 2 = 0
+                THEN 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+                ELSE 'conv-' || lpad(CAST(user_id - 1 AS VARCHAR), 6, '0') END
+         END AS src_conv_id,
+         CASE WHEN event_type = 'click' AND user_id % 3 = 0
+                   AND user_id % 7 <> 0 AND event_id % 5 = 4 THEN
+           CASE WHEN user_id % 2 = 0
+                THEN CAST(((event_id // 5) % 25 + 10) % 25 AS INT)
+                ELSE CAST((event_id // 5) % 25 AS INT) END
+         END AS src_turn_idx,
+         CASE WHEN event_type <> 'error' THEN event_type END AS role,
+         CASE WHEN event_type <> 'error' AND value > 50
+              THEN 'v' || CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS VARCHAR) END AS text,
+         CASE WHEN event_type <> 'error' AND value > 100 THEN 'hot' END AS tool
+  FROM events
+"""
+
+# The move-batch replay in SQL: pre-batch visible state = LWW fold of the
+# move-free batches (b00..b03); moves resolve source payloads against it
+# (inner join — unresolvable moves dead-letter out, ReorderFiles.kt:150-184),
+# expand into target upserts (new-wins column merge) plus source deletes
+# suppressed when the source key is also an upsert target of the same batch
+# (swap/cycle preservation, RenameS3Utils.kt:120-133), then everything folds
+# through the same per-key, per-column LWW registers as the engine.
+CDC_MOVES_SQL = f"""
+WITH ev AS ({_EV_SQL_MOVES}),
+ev2 AS (
+  SELECT lsn, batch_id, op,
+         coalesce(conv_id, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0')) AS conv_id,
+         turn_idx, src_conv_id, src_turn_idx, role, text, tool
+  FROM ev
+),
+pre_agg AS (
+  SELECT conv_id, turn_idx,
+    coalesce(max(lsn) FILTER (WHERE op <> 'delete'), -1) AS lup,
+    coalesce(max(lsn) FILTER (WHERE op = 'delete'), -1) AS ldel,
+    {_AGG}
+  FROM ev2 WHERE batch_id < 'b04' GROUP BY conv_id, turn_idx
+),
+pre AS (
+  SELECT conv_id, turn_idx, {_VIS}
+  FROM pre_agg WHERE lup > ldel
+),
+mres AS (
+  SELECT m.lsn, m.conv_id, m.turn_idx,
+         coalesce(m.role, p.role) AS role,
+         coalesce(m.text, p.text) AS text,
+         coalesce(m.tool, p.tool) AS tool,
+         m.src_conv_id, m.src_turn_idx
+  FROM ev2 m JOIN pre p
+    ON p.conv_id = m.src_conv_id AND p.turn_idx = m.src_turn_idx
+  WHERE m.batch_id = 'b04' AND m.op = 'move'
+),
+targets AS (
+  SELECT conv_id, turn_idx FROM ev2
+  WHERE batch_id = 'b04' AND op IN ('insert', 'update')
+  UNION
+  SELECT conv_id, turn_idx FROM mres
+),
+src_del AS (
+  SELECT s.lsn, s.src_conv_id AS conv_id, s.src_turn_idx AS turn_idx
+  FROM mres s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM targets t
+    WHERE t.conv_id = s.src_conv_id AND t.turn_idx = s.src_turn_idx)
+),
+norm AS (
+  SELECT lsn, op, conv_id, turn_idx, role, text, tool
+  FROM ev2 WHERE op <> 'move'
+  UNION ALL
+  SELECT lsn, 'update' AS op, conv_id, turn_idx, role, text, tool FROM mres
+  UNION ALL
+  SELECT lsn, 'delete' AS op, conv_id, turn_idx,
+         NULL AS role, NULL AS text, NULL AS tool
+  FROM src_del
+),
+agg AS (
+  SELECT conv_id, turn_idx,
+    coalesce(max(lsn) FILTER (WHERE op <> 'delete'), -1) AS lup,
+    coalesce(max(lsn) FILTER (WHERE op = 'delete'), -1) AS ldel,
+    {_AGG}
+  FROM norm GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx, {_VIS} FROM agg WHERE lup > ldel
+"""
+
+
+def q_cdc_moves_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hardest-tested semantics under the DuckDB oracle:
+    swap/cycle moves (RenameS3UtilsTest.kt:100-274), cross-conversation
+    moves (ReorderFilesTest.kt:348-426), pre-batch-state resolution
+    (ReorderFiles.kt:150-184) and source-delete suppression."""
+    from ..operators.apply import apply_derived_log
+
+    events = derive_change_events(spark, sf_dir, include_moves=True)
+    good, _dead = resolve.validate(events, [])
+    return apply_derived_log(spark, good, CDC_PAYLOAD)
 
 
 CDC_DEAD_LETTER_SQL = f"""
@@ -946,6 +1108,7 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lww_final_state": q_cdc_lww_final_state,
     "cdc_streaming_final_state": q_cdc_streaming_final_state,
+    "cdc_moves_final_state": q_cdc_moves_final_state,
     "cdc_dead_letter": q_cdc_dead_letter,
     "cdc_id_synthesis": q_cdc_id_synthesis,
     "cdc_lineage_rollup": q_cdc_lineage_rollup,
@@ -978,6 +1141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "cdc_lww_final_state": CDC_FINAL_STATE_SQL,
     "cdc_streaming_final_state": CDC_FINAL_STATE_SQL,
+    "cdc_moves_final_state": CDC_MOVES_SQL,
     "cdc_dead_letter": CDC_DEAD_LETTER_SQL,
     "cdc_id_synthesis": CDC_ID_SYNTHESIS_SQL,
     "cdc_lineage_rollup": CDC_LINEAGE_SQL,

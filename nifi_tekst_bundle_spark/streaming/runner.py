@@ -8,9 +8,11 @@ becomes a Structured Streaming file source over the event log with
 - Spark checkpoints source offsets (which files belong to epoch N) —
   restart re-delivers the same epoch deterministically (NiFi's persistent
   queues, §2.6 of SURVEY.md);
-- inside an epoch, events are applied one declarative producer batch
-  (``batch_id``) at a time, in batch order — the reference's one change
-  batch per onTrigger;
+- inside an epoch, producer batches (``batch_id``) apply in batch order;
+  maximal runs of consecutive move-free batches coalesce into ONE fenced
+  commit (LWW registers are order-independent — see plan_runs), while
+  move-containing batches keep the per-batch boundary the reference's
+  one-change-batch-per-onTrigger model implies;
 - each (run_id, epoch, batch_id) triple is a fence key recorded inside the
   LakeTable manifest swap, so a crash between sub-batches or a re-run of a
   committed epoch re-applies nothing: exactly-once end to end, replacing
@@ -39,40 +41,83 @@ class StreamStats:
     epochs_seen: int = 0
     batches_applied: int = 0
     batches_skipped: int = 0  # fence hits (re-delivery)
+    commits: int = 0  # fenced manifest commits (≤ batches when coalescing)
     fence_keys: list[str] = field(default_factory=list)
+
+
+def plan_runs(batch_moves: list[tuple[str, bool]]) -> list[list[str]]:
+    """Group an epoch's producer batches (ascending batch_id, with a
+    has-moves flag) into commit runs: maximal runs of consecutive move-free
+    batches coalesce into ONE fenced commit, move-containing batches keep
+    their own boundary.
+
+    Correctness: insert/update/delete events fold through commutative LWW
+    registers (operators.lww), so batch boundaries between move-free
+    batches are semantically invisible; only moves read the pre-batch
+    visible state and therefore need the table committed up to their own
+    batch boundary. An epoch of 100 move-free producer batches pays 1
+    manifest commit instead of 100 (the round-1 per-batch loop was the
+    epoch-cost scale-killer)."""
+    runs: list[list[str]] = []
+    prev_movefree = False
+    for bid, has_move in batch_moves:
+        if has_move:
+            runs.append([bid])
+            prev_movefree = False
+        elif prev_movefree:
+            runs[-1].append(bid)
+        else:
+            runs.append([bid])
+            prev_movefree = True
+    return runs
 
 
 def make_apply_fn(table: LakeTable, run_id: str, stats: StreamStats,
                   fail_after: list[int] | None = None,
-                  hot_key_threshold: int | None = None):
-    """foreachBatch body. ``fail_after`` injects a crash after N sub-batch
-    commits (failure-injection tests — ReorderFilesTest.kt:319-345).
+                  hot_key_threshold: int | None = None,
+                  coalesce_move_free: bool = True):
+    """foreachBatch body. ``fail_after`` injects a crash after N producer
+    batches applied (failure-injection tests — ReorderFilesTest.kt:319-345).
     ``hot_key_threshold`` enables per-batch hot-key detection + salted
-    two-phase aggregation in the merge (see LakeTable.merge_batch)."""
+    two-phase aggregation in the merge (see LakeTable.merge_batch).
+    ``coalesce_move_free`` merges consecutive move-free producer batches
+    into one fenced commit (see plan_runs); the grouping is a pure function
+    of the epoch's data, so a crash-restart re-derives identical fences."""
 
     def apply_epoch(epoch_df: DataFrame, epoch_id: int) -> None:
         stats.epochs_seen += 1
         epoch_df = epoch_df.persist()
         try:
-            batch_ids = [
-                r[0]
-                for r in epoch_df.select("batch_id").distinct().orderBy("batch_id").collect()
-            ]
-            for bid in batch_ids:
-                fence = f"{run_id}/e{epoch_id}/{bid}"
-                sub = epoch_df.filter(F.col("batch_id") == bid)
+            info = (
+                epoch_df.groupBy("batch_id")
+                .agg(F.max((F.col("op") == "move").cast("int")).alias("has_move"))
+                .orderBy("batch_id")
+                .collect()
+            )
+            batch_moves = [(r["batch_id"], bool(r["has_move"])) for r in info]
+            if not coalesce_move_free:
+                runs = [[bid] for bid, _ in batch_moves]
+            else:
+                runs = plan_runs(batch_moves)
+            for run in runs:
+                # single-batch fences keep the round-1 format so existing
+                # checkpoints/fence maps stay valid across upgrades
+                label = run[0] if len(run) == 1 else f"{run[0]}~{run[-1]}"
+                fence = f"{run_id}/e{epoch_id}/{label}"
+                sub = epoch_df.filter(F.col("batch_id").isin(run))
                 applied = table.merge_batch(
                     epoch_df.sparkSession, sub, fence_key=fence,
-                    batch_id=bid, epoch_id=epoch_id,
+                    batch_id=",".join(run), epoch_id=epoch_id,
                     hot_key_threshold=hot_key_threshold,
                 )
                 if applied:
-                    stats.batches_applied += 1
+                    stats.batches_applied += len(run)
+                    stats.commits += 1
                     stats.fence_keys.append(fence)
                     if fail_after is not None and stats.batches_applied >= fail_after[0]:
                         raise RuntimeError("injected failure after commit")
                 else:
-                    stats.batches_skipped += 1
+                    stats.batches_skipped += len(run)
         finally:
             epoch_df.unpersist()
 
@@ -88,6 +133,7 @@ def run_to_completion(
     max_files_per_trigger: int = 1,
     fail_after: list[int] | None = None,
     hot_key_threshold: int | None = None,
+    coalesce_move_free: bool = True,
 ) -> StreamStats:
     """Consume everything currently in events_dir (Trigger.AvailableNow),
     applying fenced commits; returns stream stats. Re-invoking after a
@@ -100,7 +146,8 @@ def run_to_completion(
     )
     q = (
         src.writeStream.foreachBatch(
-            make_apply_fn(table, run_id, stats, fail_after, hot_key_threshold)
+            make_apply_fn(table, run_id, stats, fail_after, hot_key_threshold,
+                          coalesce_move_free)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -9,8 +9,11 @@ fallback plan):
   lookups, MERGE joins and conversation-prefix scans prune to buckets,
   the analogue of the reference's prefix-scoped S3 listings
   (DeleteAllS3ObjectsByPrefix.kt:115-117);
-- a JSON manifest per snapshot listing data files + schema + lineage,
-  committed by atomically replacing a HEAD pointer (os.replace) — the
+- a JSON manifest per snapshot listing data files + schema + a bounded
+  fence window (lineage and dead letters live in append-only parquet
+  side-tables, so manifest bytes are O(n_buckets + fence window), NOT
+  O(epochs) — commit metadata cannot grow without bound over a 10^10-event
+  replay), committed by atomically replacing a HEAD pointer — the
   write-new-files-then-atomic-snapshot-swap protocol that subsumes the
   reference's two-phase staged rename with rollback
   (RenameDiskUtils.kt:32-105, RenameS3Utils.kt:35-135): a crash before the
@@ -90,12 +93,41 @@ class Manifest:
         return Manifest(**json.loads(s))
 
 
+LINEAGE_FIELDS = [
+    ("fence_key", "string"),
+    ("epoch_id", "long"),
+    ("batch_id", "string"),
+    ("partition_id", "int"),
+    ("events_applied", "long"),
+    ("upserts", "long"),
+    ("deletes", "long"),
+    ("dead_lettered", "long"),
+    ("watermark_ts", "string"),
+    ("max_lag_seconds", "double"),
+]
+LINEAGE_DDL = ", ".join(f"{n} {t}" for n, t in LINEAGE_FIELDS)
+
+
 class LakeTable:
+    # Committed-fence retention: fences for epochs older than
+    # (current epoch − FENCE_WINDOW) are dropped at commit time. Safe
+    # because Structured Streaming's checkpoint only ever re-delivers the
+    # last in-flight epoch — epochs behind the offset horizon cannot fire
+    # again — so the manifest stays O(n_buckets + window) instead of
+    # growing one fence entry per epoch over a 10^10-event replay.
+    FENCE_WINDOW = 64
+
     def __init__(self, root: str):
         self.root = root
         self.meta_dir = os.path.join(root, "metadata")
         self.data_dir = os.path.join(root, "data")
         self.staging_dir = os.path.join(root, "staging")
+        # lineage + dead letters are append-only parquet side-tables, NOT
+        # manifest JSON: an earlier design re-serialized the full lineage
+        # history into every manifest — O(epochs²) metadata bytes over a
+        # long replay, the one real scale-killer in the commit path.
+        self.lineage_dir = os.path.join(root, "lineage")
+        self.dl_dir = os.path.join(root, "deadletter")
 
     # ---------- lifecycle ----------
 
@@ -151,12 +183,20 @@ class LakeTable:
             f.write(m.to_json())
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
         except FileExistsError:
-            os.remove(tmp)
-            raise ConcurrentCommitError(
-                f"snapshot v{m.version} already committed by another writer"
-            ) from None
-        os.close(fd)
+            # Orphan reclaim: a prior crash between this CAS create and the
+            # HEAD swap leaves v{n}.json existing while HEAD < n. Under the
+            # single-writer model that file is provably an orphan (no other
+            # writer can have advanced past HEAD), so overwrite it instead
+            # of bricking every subsequent commit until a manual vacuum().
+            with open(os.path.join(self.meta_dir, "HEAD")) as f:
+                head = int(f.read().strip())
+            if head >= m.version:
+                os.remove(tmp)
+                raise ConcurrentCommitError(
+                    f"snapshot v{m.version} already committed by another writer"
+                ) from None
         os.replace(tmp, path)
         head_tmp = os.path.join(self.meta_dir, f"HEAD.tmp-{uuid.uuid4().hex[:8]}")
         with open(head_tmp, "w") as f:
@@ -354,12 +394,12 @@ class LakeTable:
             dead2.select("lsn", "batch_id", "op", "reason")
         )
         dl_count = dead.count()
-        dl_files: list[dict] = []
         if dl_count:
-            commit_id = uuid.uuid4().hex[:12]
-            dl_path = os.path.join(self.data_dir, f"dl-{commit_id}")
-            dead.coalesce(1).write.mode("overwrite").parquet(dl_path)
-            dl_files.append({"path": dl_path, "rows": dl_count})
+            # append-only side-table; rows are deterministic per fence, so a
+            # crash-retry duplicate file dedupes exactly on (fence_key, lsn)
+            dead.withColumn("fence_key", F.lit(fence_key)).coalesce(1).write.mode(
+                "append"
+            ).parquet(self.dl_dir)
         lin.append(
             {
                 "fence_key": fence_key,
@@ -372,6 +412,19 @@ class LakeTable:
                 "dead_lettered": dl_count,
             }
         )
+        self._append_lineage(lin)
+
+        # fence map: record this commit, drop fences behind the replay
+        # horizon (legacy int-valued entries carry no epoch — kept forever)
+        committed = dict(m.committed)
+        committed[fence_key] = [m.version + 1, int(epoch_id)]
+        if epoch_id >= 0:
+            horizon = int(epoch_id) - self.FENCE_WINDOW
+            committed = {
+                k: v
+                for k, v in committed.items()
+                if not (isinstance(v, list) and v[1] >= 0 and v[1] < horizon)
+            }
 
         kept = [f for f in m.files if f["bucket"] not in touched]
         new_manifest = Manifest(
@@ -379,9 +432,9 @@ class LakeTable:
             payload_cols=payload_cols,
             n_buckets=n_buckets,
             files=kept + new_files,
-            committed={**m.committed, fence_key: m.version + 1},
-            lineage=m.lineage + lin,
-            dead_letter_files=m.dead_letter_files + dl_files,
+            committed=committed,
+            lineage=m.lineage,
+            dead_letter_files=m.dead_letter_files,
         )
         self._write_manifest(new_manifest)
         good.unpersist()
@@ -391,14 +444,33 @@ class LakeTable:
 
     # ---------- maintenance / introspection ----------
 
+    def _append_lineage(self, rows: list[dict]) -> None:
+        """Write one tiny parquet file of lineage rows (driver-side
+        pyarrow — no Spark job for a handful of metric rows). Append-only:
+        manifest bytes stay O(1) in epoch count; duplicate files from a
+        crash-retry dedupe exactly on (fence_key, partition_id) because
+        the rows are deterministic per fence."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {
+            "string": pa.string(),
+            "long": pa.int64(),
+            "int": pa.int32(),
+            "double": pa.float64(),
+        }
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        schema = pa.schema([(n, _PA[t]) for n, t in LINEAGE_FIELDS])
+        norm = [{n: r.get(n) for n, _ in LINEAGE_FIELDS} for r in rows]
+        pq.write_table(
+            pa.Table.from_pylist(norm, schema=schema),
+            os.path.join(self.lineage_dir, f"lin-{uuid.uuid4().hex[:12]}.parquet"),
+        )
+
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         m = self.manifest()
-        schema = (
-            "fence_key string, epoch_id long, batch_id string, "
-            "partition_id int, events_applied long, upserts long, "
-            "deletes long, dead_lettered long, watermark_ts string, "
-            "max_lag_seconds double"
-        )
+        # legacy manifests carried lineage inline; new commits append to
+        # the parquet side-table — read both
         rows = [
             (
                 r.get("fence_key"),
@@ -414,21 +486,48 @@ class LakeTable:
             )
             for r in m.lineage
         ]
-        return spark.createDataFrame(rows, schema=schema)
+        legacy = spark.createDataFrame(rows, schema=LINEAGE_DDL)
+        if os.path.isdir(self.lineage_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(self.lineage_dir)
+        ):
+            side = (
+                spark.read.parquet(self.lineage_dir)
+                .dropDuplicates(["fence_key", "partition_id"])
+                .select(*[n for n, _ in LINEAGE_FIELDS])
+            )
+            return legacy.unionByName(side)
+        return legacy
 
     def dead_letters(self, spark: SparkSession) -> DataFrame:
         m = self.manifest()
+        schema = "lsn long, batch_id string, op string, reason string, fence_key string"
+        out = None
         paths = [f["path"] for f in m.dead_letter_files]
-        if not paths:
-            return spark.createDataFrame(
-                [], schema="lsn long, batch_id string, op string, reason string"
+        if paths:  # legacy manifest-listed files (no fence_key column)
+            out = spark.read.parquet(*paths).withColumn(
+                "fence_key", F.lit(None).cast("string")
             )
-        return spark.read.parquet(*paths)
+        if os.path.isdir(self.dl_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(self.dl_dir)
+        ):
+            side = spark.read.parquet(self.dl_dir).dropDuplicates(
+                ["fence_key", "lsn"]
+            ).select("lsn", "batch_id", "op", "reason", "fence_key")
+            out = side if out is None else out.unionByName(side)
+        if out is None:
+            return spark.createDataFrame([], schema=schema)
+        return out
 
     def vacuum(self) -> int:
         """Delete files not referenced by HEAD (orphans from crashed
         commits) and leftover staging dirs — the deleteOcrWorkFiles
-        analogue (ReorderFiles.kt:276-298)."""
+        analogue (ReorderFiles.kt:276-298).
+
+        MUST only run from the single writer (like the commit path): a
+        vacuum racing an in-flight commit could sweep the winner's
+        just-created manifest between its CAS and HEAD swap. HEAD is
+        re-read immediately before the metadata sweep to shrink that
+        window; the real guarantee is the single-writer contract."""
         m = self.manifest()
         referenced = {f["path"] for f in m.files}
         for d in m.dead_letter_files:
@@ -444,11 +543,15 @@ class LakeTable:
                 removed += 1
         # crashed-commit recovery: manifest files beyond HEAD (a writer
         # died between the CAS create and the HEAD swap) and leftover
-        # tmp files are orphans
+        # tmp files are orphans. Re-read HEAD right before the sweep so a
+        # commit that landed since manifest() was snapshotted above is
+        # never treated as an orphan.
+        with open(os.path.join(self.meta_dir, "HEAD")) as f:
+            head = int(f.read().strip())
         for fn in os.listdir(self.meta_dir):
             p = os.path.join(self.meta_dir, fn)
             mm = re.match(r"v(\d+)\.json$", fn)
-            if ".tmp-" in fn or (mm and int(mm.group(1)) > m.version):
+            if ".tmp-" in fn or (mm and int(mm.group(1)) > head):
                 os.remove(p)
                 removed += 1
         shutil.rmtree(self.staging_dir, ignore_errors=True)
