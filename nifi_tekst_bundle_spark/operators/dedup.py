@@ -281,3 +281,98 @@ def embedding_near_dups(
         ),
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def embedding_near_dups_banded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_tables: int = 4,
+    planes_per_table: int = 8,
+    bucket_cap: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Banded (multi-table) hyperplane LSH near-dup — the 100 TB path.
+
+    OR-amplification: ``n_tables`` independent signatures over disjoint
+    plane ranges; a pair is a candidate if it shares the bucket of ANY
+    table (recall grows ≈ 1-(1-p^r)^b vs the single-table p^r), then exact
+    cosine verifies. The single-table variant (embedding_near_dups) keeps
+    one 2^planes bucketing — at billions of vectors its intra-bucket pair
+    count is still ~n²/2^planes; here ``bucket_cap`` bounds the worst
+    bucket outright: buckets holding more than cap rows are DROPPED from
+    candidate generation (deterministically — the SQL oracle reproduces the
+    same drops), so the self-join cost is ≤ cap per bucket no matter how
+    pathological the data. Pass ``stats`` (a dict) to have kept/dropped
+    bucket counts recorded — silent truncation reads as full coverage, so
+    surface what was skipped.
+
+    Plan shape: signatures are a narrow projection; ONE shuffle on
+    (table_id, sig) covers both the window count and the self-join;
+    candidate pairs dedupe before the vector join, so each pair's cosine
+    is computed once.
+    """
+    from .similarity import cosine, hyperplane_signature
+
+    sigs = df.select(
+        F.col(id_col),
+        *[
+            hyperplane_signature(
+                F.col(vec_col), planes_per_table, plane_offset=t * planes_per_table
+            ).alias(f"sig_{t}")
+            for t in range(n_tables)
+        ],
+    )
+    stacked = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        F.col(f"sig_{t}").alias("sig"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.table_id", "b.sig")
+    if bucket_cap is not None:
+        w = Window.partitionBy("table_id", "sig")
+        counted = stacked.withColumn("_bc", F.count("*").over(w))
+        if stats is not None:
+            bc = counted.select("table_id", "sig", "_bc").distinct()
+            stats["dropped_buckets"] = bc.filter(F.col("_bc") > bucket_cap).count()
+            stats["kept_buckets"] = bc.filter(F.col("_bc") <= bucket_cap).count()
+        stacked = counted.filter(F.col("_bc") <= bucket_cap).drop("_bc")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    pairs = (
+        cand.join(
+            vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= threshold)

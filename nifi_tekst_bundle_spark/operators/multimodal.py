@@ -5,22 +5,38 @@ The reference treats page images as opaque files with typed metadata
 treats media as ``binary`` columns with a typed metadata struct, processed
 by Arrow-batched pandas stages over ``mapInPandas``.
 
-Decode libraries (PIL/librosa/ffmpeg) are not in this container, so the
-actual byte→pixels/samples step is STUBBED: ``decode_stub=True`` substitutes
-a deterministic fake (hash-derived dimensions) so the Spark-side plumbing —
-schema, partitioning, UDF signature, Arrow batch shape — is real and tested;
-``decode_stub=False`` raises NotImplementedError at the decode call site.
+Decode strategy (degrades gracefully, never hard-fails at import):
+
+- ``decode_stub=True`` → a deterministic fake decode whose dimensions
+  derive from the payload's md5 digest — stable across replays, zero
+  external deps, and bit-for-bit reproducible by a SQL oracle
+  (('0x' || substr(md5(payload), 1, 2))::INT is digest byte 0), so the
+  whole mapInPandas pipeline gets a driver-checked CORRECTNESS row
+  (catalog.q_media_features);
+- ``decode_stub=False`` → real decode via optional imports, probed at
+  module load: PIL for images when installed; otherwise the decode call
+  raises NotImplementedError naming the missing library (audio/video
+  would need librosa/ffmpeg — not present in this environment).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional dependency probe — never a hard requirement
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -36,7 +52,7 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), True),
-        T.StructField("sha1", T.StringType(), True),
+        T.StructField("checksum", T.StringType(), True),  # md5 hex (P4)
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_frames", T.IntegerType(), True),
@@ -45,16 +61,23 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_real(kind: str, payload: bytes):
+    """Real decode via optional libraries. Images decode through PIL when
+    it is installed; everything else (or a missing library) raises a
+    NotImplementedError naming what is needed — loud, not silent."""
+    if kind == "image" and HAVE_PIL:
+        img = _PILImage.open(io.BytesIO(payload or b""))
+        return img.width, img.height, 1
+    missing = "PIL" if kind == "image" else "librosa/ffmpeg"
     raise NotImplementedError(
-        "media decode requires PIL/librosa/ffmpeg — not available in this "
-        "environment; run with decode_stub=True for the plumbing path"
+        f"real {kind} decode requires {missing}, which is not installed; "
+        "run with decode_stub=True for the deterministic plumbing path"
     )
 
 
 def _decode_fake(kind: str, payload: bytes):
-    """Deterministic fake decode: dimensions derived from content hash —
-    stable across replays, no external libs."""
-    h = hashlib.sha1(payload or b"").digest()
+    """Deterministic fake decode: dimensions derived from the payload's
+    md5 digest — stable across replays, reproducible in SQL."""
+    h = hashlib.md5(payload or b"").digest()
     w = 64 + h[0]
     ht = 64 + h[1]
     frames = 1 if kind == "image" else 1 + h[2]
@@ -80,8 +103,8 @@ def extract_features(df: DataFrame, decode_stub: bool = False) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": kinds,
                     "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "sha1": payloads.map(
-                        lambda b: hashlib.sha1(b or b"").hexdigest()
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()
                     ),
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
@@ -94,7 +117,7 @@ def extract_features(df: DataFrame, decode_stub: bool = False) -> DataFrame:
 
 def frame_sample(df: DataFrame, every_n: int = 2, decode_stub: bool = False) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame
-    index (expands via the fake frame count; real path stubbed)."""
+    index (expands via the decoded frame count)."""
     feats = extract_features(df.filter(F.col("kind") == "video"), decode_stub)
     return feats.select(
         "media_id",

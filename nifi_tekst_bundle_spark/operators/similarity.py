@@ -76,9 +76,13 @@ def _plane_weight_py(p: int, d: int) -> float:
     return (h % 2000 - 1000) / 1000.0
 
 
-def hyperplane_signature(vec: F.Column, n_planes: int = 8) -> F.Column:
+def hyperplane_signature(
+    vec: F.Column, n_planes: int = 8, plane_offset: int = 0
+) -> F.Column:
     """Sign bits of n_planes hash-derived hyperplane projections, packed
-    into a string bucket key.
+    into a string bucket key. ``plane_offset`` selects a disjoint plane
+    range (planes offset..offset+n−1) so multiple INDEPENDENT hash tables
+    can be built for OR-amplified LSH (dedup.embedding_near_dups_banded).
 
     The weights are row-independent constants, so they are computed ONCE
     driver-side (same md5 formula — bit-identical to the SQL oracle) and
@@ -92,7 +96,7 @@ def hyperplane_signature(vec: F.Column, n_planes: int = 8) -> F.Column:
     rows into ONE bucket (O(n²) self-join downstream) and silently diverge
     from the SQL oracle, which computes true weights for every dim."""
     bits = []
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         w = F.array(
             *[F.lit(_plane_weight_py(p, d)) for d in range(_MAX_DIMS)]
         )

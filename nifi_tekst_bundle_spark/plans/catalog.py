@@ -657,6 +657,84 @@ def q_rational_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RATIONAL_DECIMAL_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(27,10))
+                       / CAST(l_quantity AS DECIMAL(10,0)), 10)
+            AS DECIMAL(38,10)) AS VARCHAR) AS unit_price_dec
+FROM lineitem WHERE l_quantity > 0
+"""
+
+
+def q_rational_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 exact semantics (JhoveParser.kt:55-67): rational → decimal at
+    scale 10, HALF_UP. Compared as the decimal's full-scale string
+    rendering so every digit of the HALF_UP quotient is oracle-checked
+    bit-for-bit (a double compare would hide scale/rounding divergence;
+    pandas degrades DECIMAL columns inconsistently across engines)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        kf.rational_decimal(F.col("l_extendedprice"), F.col("l_quantity"))
+        .cast("string")
+        .alias("unit_price_dec"),
+    )
+
+
+# A1 at full depth (CreateMetsBrowsing.kt:161-312 + serializer
+# MetsBrowsingSerializer.kt:280-412): per-conversation ordered fold of the
+# CDC final state into ONE deterministically rendered document + checksum —
+# the transcripts analogue of the METS render with its golden-file equality
+# test (CreateMetsBrowsingTest.kt:368-411).
+CONV_DOCUMENT_SQL = f"""
+SELECT conv_id, count(*) AS n_turns,
+  string_agg('[' || lpad(CAST(turn_idx AS VARCHAR), 5, '0') || '] ' ||
+             coalesce(role, '') || '|' || coalesce(text, '') || '|' ||
+             coalesce(tool, ''), chr(10) ORDER BY turn_idx) AS doc,
+  md5(string_agg('[' || lpad(CAST(turn_idx AS VARCHAR), 5, '0') || '] ' ||
+             coalesce(role, '') || '|' || coalesce(text, '') || '|' ||
+             coalesce(tool, ''), chr(10) ORDER BY turn_idx)) AS doc_md5
+FROM ({CDC_FINAL_STATE_SQL}) final
+GROUP BY conv_id
+"""
+
+
+def q_conv_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final = q_cdc_lww_final_state(spark, sf_dir)
+    st = F.struct(
+        F.col("turn_idx").alias("t"),
+        F.col("role").alias("r"),
+        F.col("text").alias("x"),
+        F.col("tool").alias("o"),
+    )
+    # sort_array on structs orders by the leading field (turn_idx — unique
+    # per conversation), giving the reference's sorted-listing determinism
+    # (CreateMetsBrowsing.kt:222-228); the render is a pure JVM-side
+    # transform, zero-padded like the page labels (ReorderFiles.kt:136)
+    doc = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(st)),
+            lambda s: F.concat(
+                F.lit("["),
+                F.lpad(s["t"].cast("string"), 5, "0"),
+                F.lit("] "),
+                F.coalesce(s["r"], F.lit("")),
+                F.lit("|"),
+                F.coalesce(s["x"], F.lit("")),
+                F.lit("|"),
+                F.coalesce(s["o"], F.lit("")),
+            ),
+        ),
+        "\n",
+    )
+    return final.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        doc.alias("doc"),
+        F.md5(doc.cast("binary")).alias("doc_md5"),
+    )
+
+
 KEY_PROJECTION_SQL = r"""
 WITH named AS (
   SELECT doc_id,
@@ -691,6 +769,93 @@ def q_key_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         kf.extract_page_no(F.col("fname")).alias("page_no"),
         kf.normalize_extension(F.col("fname")).alias("norm_name"),
         kf.urn(kf.extract_id_from_filename(F.col("fname"))).alias("urn"),
+    )
+
+
+# P1/P2/P3 under the oracle (GenerateJsonFromProps.kt): dotted-path nested
+# construction with array indexing, then the recursive new-wins merge —
+# which is RFC-7386 json_merge_patch when the new side omits its nulls
+# (Spark's to_json drops null fields, so the engine's merge_structs
+# coalesce overlay and DuckDB's json_merge_patch agree). Fields are
+# extracted back out so the comparison is key-order independent.
+JSON_PROPS_SQL = """
+WITH built AS (
+  SELECT event_id,
+    json_object('meta', json_object('user', CAST(user_id AS VARCHAR),
+                                    'type', event_type),
+                'vals', json_array(CAST(event_id AS VARCHAR), 'x')) AS old_json,
+    CASE WHEN value > 50
+      THEN json_object('meta', json_object('type', upper(event_type),
+                                           'flag', 'hot'),
+                       'vals', json_array(event_type))
+      ELSE json_object('meta', json_object('type', upper(event_type)),
+                       'vals', json_array(event_type)) END AS new_json
+  FROM events
+),
+merged AS (SELECT event_id, json_merge_patch(old_json, new_json) AS m FROM built)
+SELECT event_id,
+  json_extract_string(m, '$.meta.user') AS m_user,
+  json_extract_string(m, '$.meta.type') AS m_type,
+  json_extract_string(m, '$.meta.flag') AS m_flag,
+  json_extract_string(m, '$.vals[0]') AS v0,
+  json_extract_string(m, '$.vals[1]') AS v1
+FROM merged
+"""
+
+
+def q_json_props_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build two JSON documents from dotted property paths (P1/P2), merge
+    them under the new-wins recursive rule (P3: objects recurse, scalars
+    and arrays overwritten when new is non-null, old survives where new is
+    silent), extract the merged fields. m_user proves old-side survival,
+    m_type new-wins, m_flag the conditional-null path, v0/v1 whole-array
+    overwrite (GenerateJsonFromPropsTest.kt:180+)."""
+    from pyspark.sql import types as T
+
+    from ..functions import json_props as jp
+
+    ev = _read(spark, sf_dir, "events")
+    old_json = jp.build_nested_json(
+        {
+            "meta.user": F.col("user_id").cast("string"),
+            "meta.type": F.col("event_type"),
+            "vals[0]": F.col("event_id").cast("string"),
+            "vals[1]": F.lit("x"),
+        }
+    )
+    new_json = jp.build_nested_json(
+        {
+            "meta.type": F.upper(F.col("event_type")),
+            "meta.flag": F.when(F.col("value") > 50, F.lit("hot")),
+            "vals[0]": F.col("event_type"),
+        }
+    )
+    schema = T.StructType(
+        [
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("user", T.StringType()),
+                        T.StructField("type", T.StringType()),
+                        T.StructField("flag", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("vals", T.ArrayType(T.StringType())),
+        ]
+    )
+    df = ev.select(
+        "event_id", old_json.alias("old_json"), new_json.alias("new_json")
+    )
+    df = jp.merge_json_columns(df, "old_json", "new_json", schema, "m")
+    return df.select(
+        "event_id",
+        F.get_json_object("m", "$.meta.user").alias("m_user"),
+        F.get_json_object("m", "$.meta.type").alias("m_type"),
+        F.get_json_object("m", "$.meta.flag").alias("m_flag"),
+        F.get_json_object("m", "$.vals[0]").alias("v0"),
+        F.get_json_object("m", "$.vals[1]").alias("v1"),
     )
 
 
@@ -924,6 +1089,74 @@ def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_pairs_sql(n_hashes: int = 4, n_bands: int = 2, k: int = 3,
+                       threshold: float = 0.5) -> str:
+    mh = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5('mh{i}|' || s), 1, 15))::INT64)) AS m{i}"
+        for i in range(n_hashes)
+    )
+    rows = n_hashes // n_bands
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(
+            f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands = "\n  UNION ALL\n  ".join(band_selects)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {k}
+         THEN list_transform(range(len(words) - {k - 1}),
+                             i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM base
+),
+sig AS (SELECT doc_id, shingles, {mh} FROM sh),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.id_a, c.id_b,
+    round(len(list_intersect(sa.shingles, sb.shingles))
+          / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1), 6) AS jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+"""
+
+
+DOCS_MINHASH_PAIRS_SQL = _minhash_pairs_sql()
+
+
+def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash→LSH-band→bucket-join→Jaccard-verify pipeline under
+    the oracle — the SCALE dedup path (candidates only ever meet inside a
+    band bucket, so the verify join is ~linear in corpus size, never the
+    all-pairs join the fenced docs_ngram_jaccard query uses)."""
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup.minhash_near_dups(
+        docs, "doc_id", "text", n_hashes=4, n_bands=2,
+        jaccard_threshold=0.5, k=3,
+    )
+
+
 def _simhash_sql() -> str:
     sums = ",\n    ".join(
         f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -960,6 +1193,43 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return dedup.simhash64(docs, "doc_id", "text")
+
+
+# Multimodal plumbing under the oracle: documents' text bytes stand in for
+# media payloads (no media libs in this environment), the deterministic
+# stub decode derives dimensions from the payload md5 — so the REAL part
+# (binary columns through Arrow mapInPandas batches, schema, partitioning)
+# is driver-verified while the decode seam stays swappable
+# (operators.multimodal, JhoveParser.kt:29-156 analogue).
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  md5(text) AS checksum,
+  CAST(64 + ('0x' || substr(md5(text), 1, 2))::INT AS INT) AS width,
+  CAST(64 + ('0x' || substr(md5(text), 3, 2))::INT AS INT) AS height,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+            ELSE 1 + ('0x' || substr(md5(text), 5, 2))::INT END AS INT) AS n_frames
+FROM documents
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return multimodal.extract_features(media, decode_stub=True)
 
 
 # --------------------------------------------------------------------------
@@ -1008,12 +1278,13 @@ FROM embeddings
 """
 
 
-def _hyperplane_sig_sql(vec: str, n_planes: int) -> str:
+def _hyperplane_sig_sql(vec: str, n_planes: int, offset: int = 0) -> str:
     """DuckDB replica of similarity.hyperplane_signature: sign bits of
     hash-derived hyperplane projections (weights from md5, so both engines
-    compute bit-identical buckets)."""
+    compute bit-identical buckets). ``offset`` mirrors plane_offset (the
+    banded multi-table variant)."""
     bits = []
-    for p in range(n_planes):
+    for p in range(offset, offset + n_planes):
         w = (
             f"((('0x' || substr(md5('plane{p}|' || CAST(i AS VARCHAR)), 1, 8))::INT64"
             f" % 2000 - 1000) / 1000.0)"
@@ -1091,6 +1362,63 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_neardup_banded_sql(n_tables: int = 4, planes_per_table: int = 6,
+                            bucket_cap: int = 12, threshold: float = 0.2) -> str:
+    sels = ",\n       ".join(
+        f"{_hyperplane_sig_sql('v', planes_per_table, t * planes_per_table)} AS sig_{t}"
+        for t in range(n_tables)
+    )
+    stack = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS table_id, sig_{t} AS sig FROM s"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (SELECT vec_id, v, {sels} FROM e),
+stacked AS (
+  {stack}
+),
+counted AS (
+  SELECT vec_id, table_id, sig,
+         count(*) OVER (PARTITION BY table_id, sig) AS bc
+  FROM stacked
+),
+kept AS (SELECT vec_id, table_id, sig FROM counted WHERE bc <= {bucket_cap}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.table_id = b.table_id AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+    round({_DOT.format(a='ea.v', b='eb.v')}
+          / ({_NRM.format(a='ea.v')} * {_NRM.format(a='eb.v')}), 6) AS cos
+  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cos FROM pairs WHERE cos >= {threshold}
+"""
+
+
+EMB_NEARDUP_BANDED_SQL = _emb_neardup_banded_sql()
+
+
+def q_embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified multi-table hyperplane LSH with a hard per-bucket cap —
+    the shape that survives billions of vectors: recall from 4 independent
+    tables, worst-case intra-bucket cost bounded by the cap, capped buckets
+    dropped identically on both engines (dedup.embedding_near_dups_banded)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return dedup.embedding_near_dups_banded(
+        emb, "vec_id", "embedding", threshold=0.2,
+        n_tables=4, planes_per_table=6, bucket_cap=12,
+    )
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
@@ -1122,7 +1450,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "first_match": q_first_match,
     "events_routing": q_events_routing,
     "rational_projection": q_rational_projection,
+    "rational_decimal": q_rational_decimal,
+    "conv_document": q_conv_document,
     "key_projection": q_key_projection,
+    "json_props_roundtrip": q_json_props_roundtrip,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_token_stats": q_docs_token_stats,
     "docs_nfc": q_docs_nfc,
@@ -1130,11 +1461,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lang_id": q_docs_lang_id,
     "docs_fingerprint": q_docs_fingerprint,
     "docs_minhash_sig": q_docs_minhash_sig,
+    "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "docs_simhash": q_docs_simhash,
+    "media_features": q_media_features,
     "ann_topk": q_ann_topk,
     "lsh_topk": q_lsh_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_banded": q_embedding_neardup_banded,
     "embedding_norms": q_embedding_norms,
 }
 
@@ -1155,7 +1489,10 @@ ORACLES: dict[str, str] = {
     "first_match": FIRST_MATCH_SQL,
     "events_routing": ROUTING_SQL,
     "rational_projection": RATIONAL_SQL,
+    "rational_decimal": RATIONAL_DECIMAL_SQL,
+    "conv_document": CONV_DOCUMENT_SQL,
     "key_projection": KEY_PROJECTION_SQL,
+    "json_props_roundtrip": JSON_PROPS_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,
     "docs_token_stats": DOCS_TOKEN_STATS_SQL,
     "docs_nfc": DOCS_NFC_SQL,
@@ -1163,10 +1500,13 @@ ORACLES: dict[str, str] = {
     "docs_lang_id": DOCS_LANG_SQL,
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
     "docs_minhash_sig": DOCS_MINHASH_SQL,
+    "docs_minhash_pairs": DOCS_MINHASH_PAIRS_SQL,
     "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
     "docs_simhash": DOCS_SIMHASH_SQL,
+    "media_features": MEDIA_FEATURES_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "lsh_topk": LSH_TOPK_SQL,
     "embedding_neardup": EMB_NEARDUP_SQL,
+    "embedding_neardup_banded": EMB_NEARDUP_BANDED_SQL,
     "embedding_norms": EMBEDDING_NORMS_SQL,
 }

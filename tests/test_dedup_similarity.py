@@ -105,6 +105,31 @@ def test_embedding_near_dups(spark, embs):
         assert r["cos"] >= 0.5
 
 
+def test_banded_embedding_near_dups(spark):
+    """Multi-table OR amplification: pair recall ⊇ any single table's, the
+    bucket cap's kept/dropped accounting is surfaced (no silent
+    truncation), and pair output is ordered + thresholded."""
+    from pyspark.sql import functions as F
+
+    embs = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    stats: dict = {}
+    pairs = dedup.embedding_near_dups_banded(
+        embs, "vec_id", "embedding", threshold=0.2,
+        n_tables=2, planes_per_table=6, bucket_cap=12, stats=stats,
+    ).collect()
+    assert stats["kept_buckets"] > 0
+    assert stats["dropped_buckets"] > 0  # cap path genuinely exercised
+    seen = set()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos"] >= 0.2
+        assert (r["id_a"], r["id_b"]) not in seen  # deduped across tables
+        seen.add((r["id_a"], r["id_b"]))
+
+
 def test_multimodal_stub_plumbing(spark):
     rows = [
         (1, "image", bytearray(b"\x89PNGfake"), {"src": "a"}),
@@ -120,6 +145,8 @@ def test_multimodal_stub_plumbing(spark):
     assert byid[3]["n_bytes"] == 0
     frames = multimodal.frame_sample(df, every_n=2, decode_stub=True).collect()
     assert all(r["frame_idx"] % 2 == 0 for r in frames)
-    # real decode path is stubbed behind NotImplementedError
-    with pytest.raises(Exception):
-        multimodal.extract_features(df, decode_stub=False).collect()
+    # real decode degrades gracefully: optional-import probe, loud
+    # NotImplementedError only when the library is genuinely absent
+    if not multimodal.HAVE_PIL:
+        with pytest.raises(Exception):
+            multimodal.extract_features(df, decode_stub=False).collect()

@@ -85,6 +85,45 @@ def test_minhash_and_simhash_are_shuffle_free(spark):
         assert "BatchEvalPython" not in plan
 
 
+def test_banded_embedding_neardup_no_cartesian(spark):
+    """The OR-amplified multi-table LSH must stay a bucket equi-join:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan,
+    and the candidate join keys on (table_id, sig)."""
+    df = catalog.q_embedding_neardup_banded(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_simhash_drops_null_text_rows(spark):
+    """NULL-text docs produce no simhash row (matches the SQL oracle's
+    unnest semantics — ADVICE round 1)."""
+    from nifi_tekst_bundle_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id int, text string"
+    )
+    rows = dedup.simhash64(df, "doc_id", "text").collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_hyperplane_signature_rejects_oversized_vectors(spark):
+    """>512-dim vectors fail loudly instead of silently collapsing all
+    rows into one bucket (ADVICE round 1)."""
+    import pytest
+    from nifi_tekst_bundle_spark.operators import similarity
+
+    ok = spark.createDataFrame([(1, [0.5] * 16)], "id int, v array<double>")
+    assert (
+        ok.select(similarity.hyperplane_signature(F.col("v"), 4)).first()[0]
+        is not None
+    )
+    bad = spark.createDataFrame([(1, [0.5] * 600)], "id int, v array<double>")
+    with pytest.raises(Exception, match="hyperplane_signature|raise_error|600"):
+        bad.select(similarity.hyperplane_signature(F.col("v"), 4)).collect()
+
+
 def test_projection_prunes_documents_scan(spark):
     df = catalog.q_docs_token_stats(spark, SF)
     fmt = _formatted(df)
