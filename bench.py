@@ -36,17 +36,22 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
     "cdc_lww_final_state",
+    "cdc_moves_final_state",
     "q1_pricing_summary",
     "top_parts_by_revenue",
     "window_lww",
     "conv_fold",
+    "conv_document",
     "docs_quality",
     "docs_minhash_sig",
+    "docs_minhash_pairs",
     "docs_simhash",
     "docs_nfc",
+    "media_features",
     "ann_topk",
     "lsh_topk",
     "embedding_neardup",
+    "embedding_neardup_banded",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that
@@ -158,18 +163,20 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
     """
     ev_dir = materialize_events(sf_dir, CDC_MULTIPLIER)
     n_events = None
-    # one N→4N pair (the north-rule shape). The pair is cpus/8 → cpus/2
-    # (4→16 here), NOT 8→32: a raw-CPU sha256 sweep shows this host only
-    # physically delivers ~2.35× (eff 0.59) from 8→32 threads despite
-    # lscpu reporting 32 dedicated cores — the host is overcommitted at
-    # high core counts — while 4→16 delivers 3.2× (eff 0.80). Measuring
-    # the engine on a pair the hardware itself cannot scale over would
-    # report the hypervisor, not the engine.
-    pairs = [(max(cpus // 8, 2), max(cpus // 2, 8))]
+    # BOTH N→4N pairs are measured and reported so the pair selection is
+    # auditable. 4→16 is the PRIMARY criterion pair: a raw-CPU sha256
+    # sweep shows this host only physically delivers ~2.35× (eff 0.59)
+    # from 8→32 threads despite lscpu reporting 32 dedicated cores — the
+    # host is overcommitted at high thread counts — while 4→16 delivers
+    # 3.2× (eff 0.80). 8→32 is still published (with its same-window
+    # raw-CPU ceiling) as supplementary evidence; on that pair the
+    # efficiency number measures the hypervisor, not the engine.
+    pairs = [(max(cpus // 8, 2), max(cpus // 2, 8)),
+             (max(cpus // 4, 2), cpus)]
     cores_list = sorted({c for p in pairs for c in p})
     times: dict[int, list] = {c: [] for c in cores_list}
     cpu_times: dict[int, list] = {c: [] for c in cores_list}
-    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
+    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "4"))
     for _ in range(trials):
         for c in cores_list:
             spark = make_spark(c, parts=SCALING_PARTITIONS)
@@ -197,13 +204,14 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
             "events_per_sec": round(n_events / best[c], 1),
         }
     out["pairs"] = []
-    for lo, hi in pairs:
+    for i, (lo, hi) in enumerate(pairs):
         eff = (best[lo] / best[hi]) / (hi / lo)
         cpu_eff = (cpu_best[lo] / cpu_best[hi]) / (hi / lo)
         out["pairs"].append(
             {
                 "n": lo,
                 "4n": hi,
+                "primary": i == 0,
                 "speedup": round(best[lo] / best[hi], 2),
                 "efficiency": round(eff, 3),
                 "cpu_ceiling": round(cpu_eff, 3),
@@ -268,8 +276,9 @@ def write_baseline_md(scaling: dict, queries: dict, sf_dir: str) -> None:
         "|---|---|---|---|---|",
     ]
     for p in scaling["pairs"]:
+        tag = " (primary)" if p.get("primary") else " (supplementary)"
         lines.append(
-            f"| {p['n']}→{p['4n']} cores (4×) | {p['speedup']}× | **{p['efficiency']}** |"
+            f"| {p['n']}→{p['4n']} cores (4×){tag} | {p['speedup']}× | **{p['efficiency']}** |"
             f" {p.get('cpu_ceiling', 'n/a')} | **{p.get('efficiency_vs_ceiling', 'n/a')}** |"
         )
     lines += [
@@ -282,6 +291,13 @@ def write_baseline_md(scaling: dict, queries: dict, sf_dir: str) -> None:
         "across repeated runs the raw Spark efficiency tracks whatever the",
         "host gave that run (observed 0.71–1.02) while efficiency-vs-ceiling",
         "stays ≥ 0.9.",
+        "",
+        "Both N→4N pairs are published so the pair choice is auditable:",
+        "4→16 is the primary criterion pair because the raw-CPU probe shows",
+        "the host overcommitted above ~16 threads (8→32 delivers well under",
+        "4× even for pure-CPU sha256 with no JVM involved — on that pair the",
+        "efficiency number measures the hypervisor, not the engine; compare",
+        "its Spark efficiency against its own same-window ceiling column).",
         "",
         "## Headline query seconds (local[%d], %s)" % (CPUS, sf_dir),
         "",

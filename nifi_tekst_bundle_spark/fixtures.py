@@ -272,6 +272,36 @@ def make_event_log(
     return GeneratedLog(batches=batches)
 
 
+def write_binlog_segments(events_df, out_dir: str) -> list[str]:
+    """Lay a change-event DataFrame out as binlog segments: one parquet
+    file per producer batch, lexicographic filenames in batch order, so a
+    streaming file source consumes whole batches in sequence. Fixture
+    construction (driver-side copy of a handful of small files) — kept out
+    of catalog query bodies so those stay plan-only."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    stage_root = tempfile.mkdtemp(prefix="binlog_stage_")
+    bids = [r[0] for r in events_df.select("batch_id").distinct().collect()]
+    paths = []
+    for bid in sorted(bids):
+        stage = os.path.join(stage_root, f"stage-{bid}")
+        events_df.filter(F.col("batch_id") == bid).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        src = glob.glob(os.path.join(stage, "*.parquet"))[0]
+        dst = os.path.join(out_dir, f"{bid}.parquet")
+        shutil.copy(src, dst)
+        paths.append(dst)
+    shutil.rmtree(stage_root, ignore_errors=True)
+    return paths
+
+
 def write_event_log_parquet(log: GeneratedLog, out_dir: str) -> list[str]:
     """One parquet file per batch, lexicographically ordered filenames —
     the streaming file source consumes them in batch order."""

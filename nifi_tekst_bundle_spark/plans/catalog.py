@@ -215,24 +215,14 @@ def q_cdc_streaming_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same result as q_cdc_lww_final_state but through the full streaming
     path: event files → checkpointed stream → fenced LakeTable commits →
     visible table read. Proves the streaming engine against a SQL oracle."""
+    from ..fixtures import write_binlog_segments
     from ..streaming import runner
     from ..table.lake import LakeTable
 
-    import glob
-    import shutil
-
     events = derive_change_events(spark, sf_dir).cache()
     tmp = tempfile.mkdtemp(prefix="cdc_stream_")
-    # one file per producer batch (binlog-segment layout), batch_id retained
     flat = os.path.join(tmp, "flat")
-    os.makedirs(flat, exist_ok=True)
-    bids = [r[0] for r in events.select("batch_id").distinct().collect()]
-    for bid in sorted(bids):
-        events.filter(F.col("batch_id") == bid).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(tmp, f"stage-{bid}"))
-        src = glob.glob(os.path.join(tmp, f"stage-{bid}", "*.parquet"))[0]
-        shutil.copy(src, os.path.join(flat, f"{bid}.parquet"))
+    write_binlog_segments(events, flat)
 
     table = LakeTable.create(spark, os.path.join(tmp, "table"),
                              payload_cols=CDC_PAYLOAD, n_buckets=8)

@@ -208,34 +208,35 @@ class LakeTable:
     def _write_register_files(
         self, regs: DataFrame, n_buckets: int, tag: str
     ) -> list[dict]:
-        """Write register rows as one parquet file per touched bucket via a
-        per-commit staging dir (unique names — the tmp_<uuidv7>_ staging of
-        RenameS3Utils.kt:78, fenced per commit instead of per key)."""
+        """Write register rows as one parquet file per touched bucket,
+        directly into a unique per-commit directory under data/ — write
+        ONCE to the final location, zero renames. The unique dir name is
+        the tmp_<uuidv7>_ uniqueness of RenameS3Utils.kt:78 fenced per
+        commit; 'commit' is purely the manifest swap referencing these
+        paths. This is the object-store pattern (S3 has no rename — an
+        earlier version staged then drove one shutil.move per bucket file
+        from the driver, a per-file round trip that does not translate to
+        the reference's S3 world and serializes on the driver)."""
         commit_id = uuid.uuid4().hex[:12]
-        stage = os.path.join(self.staging_dir, f"{tag}-{commit_id}")
+        out = os.path.join(self.data_dir, f"{tag}-{commit_id}")
         (
             regs.withColumn(BUCKET_COL, bucket_expr(n_buckets))
             .repartition(BUCKET_COL)
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(stage)
+            .write.partitionBy(BUCKET_COL)
+            .parquet(out)
         )
         files: list[dict] = []
-        for entry in sorted(os.listdir(stage)):
+        for entry in sorted(os.listdir(out)):
             mm = re.match(rf"{BUCKET_COL}=(\d+)$", entry)
             if not mm:
                 continue
             b = int(mm.group(1))
-            bdir = os.path.join(stage, entry)
+            bdir = os.path.join(out, entry)
             for fn in sorted(os.listdir(bdir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                dst = os.path.join(
-                    self.data_dir, f"{tag}-{commit_id}-b{b:05d}-{fn}"
-                )
-                shutil.move(os.path.join(bdir, fn), dst)
-                files.append({"path": dst, "bucket": b, "rows": -1})
-        shutil.rmtree(stage, ignore_errors=True)
+                if fn.endswith(".parquet"):
+                    files.append(
+                        {"path": os.path.join(bdir, fn), "bucket": b, "rows": -1}
+                    )
         return files
 
     def read_registers(
@@ -535,7 +536,12 @@ class LakeTable:
         removed = 0
         for fn in os.listdir(self.data_dir):
             p = os.path.join(self.data_dir, fn)
-            if p not in referenced:
+            # a per-commit directory is live iff any referenced data file
+            # lives under it (files are written in place, never moved)
+            live = p in referenced or any(
+                r.startswith(p + os.sep) for r in referenced
+            )
+            if not live:
                 if os.path.isdir(p):
                     shutil.rmtree(p, ignore_errors=True)
                 else:
