@@ -254,7 +254,7 @@ def simhash_near_dups(
 
 def embedding_near_dups(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 8, dims: int | None = None,
 ) -> DataFrame:
     """Near-duplicates by embedding cosine, LSH-bucketed by random
     hyperplane signs so the pairwise check never goes O(n²).
@@ -266,7 +266,7 @@ def embedding_near_dups(
 
     sigs = df.select(
         F.col(id_col), F.col(vec_col),
-        hyperplane_signature(F.col(vec_col), n_planes).alias("sig"),
+        hyperplane_signature(F.col(vec_col), n_planes, dims=dims).alias("sig"),
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = a.join(
@@ -292,6 +292,7 @@ def embedding_near_dups_banded(
     planes_per_table: int = 8,
     bucket_cap: int | None = None,
     stats: dict | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """Banded (multi-table) hyperplane LSH near-dup — the 100 TB path.
 
@@ -319,7 +320,8 @@ def embedding_near_dups_banded(
         F.col(id_col),
         *[
             hyperplane_signature(
-                F.col(vec_col), planes_per_table, plane_offset=t * planes_per_table
+                F.col(vec_col), planes_per_table,
+                plane_offset=t * planes_per_table, dims=dims,
             ).alias(f"sig_{t}")
             for t in range(n_tables)
         ],
