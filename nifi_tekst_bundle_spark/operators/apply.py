@@ -98,25 +98,42 @@ def apply_derived_log(
         .orderBy("batch_id")
         .collect()
     )
+    has_move = {r["batch_id"]: bool(r["m"]) for r in info}
     runs = plan_runs([(r["batch_id"], bool(r["m"])) for r in info])
-    regs: DataFrame | None = None
+    out_cols = resolve.NORMALIZED_COLS + payload_cols
+    # Registers are commutative, so instead of chaining full-outer register
+    # merges per run, collect each run's NORMALIZED events and fold the
+    # union ONCE at the end; an intermediate fold is computed only when a
+    # later run actually contains moves (it needs the visible state so
+    # far). Move-free runs skip the expansion joins entirely.
+    norm_parts: list[DataFrame] = []
     for run in runs:
         sub = good.filter(F.col("batch_id").isin(run))
-        pre = (
-            _empty_visible(spark, payload_cols)
-            if regs is None
-            else lww.visible(regs, payload_cols)
-        )
-        normalized, _dead = resolve.expand_moves(sub, pre, payload_cols)
-        bregs = lww.batch_registers(normalized, payload_cols)
-        regs = (
-            bregs
-            if regs is None
-            else lww.combine_registers(regs, bregs, payload_cols)
-        )
-    if regs is None:
+        if any(has_move[bid] for bid in run):
+            pre = (
+                _empty_visible(spark, payload_cols)
+                if not norm_parts
+                else lww.visible(
+                    lww.batch_registers(_union(norm_parts), payload_cols),
+                    payload_cols,
+                )
+            )
+            normalized, _dead = resolve.expand_moves(sub, pre, payload_cols)
+        else:
+            normalized = sub.select(*out_cols)
+        norm_parts.append(normalized)
+    if not norm_parts:
         return _empty_visible(spark, payload_cols)
-    return lww.visible(regs, payload_cols)
+    return lww.visible(
+        lww.batch_registers(_union(norm_parts), payload_cols), payload_cols
+    )
+
+
+def _union(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def batch_lineage(

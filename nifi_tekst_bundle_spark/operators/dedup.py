@@ -161,6 +161,61 @@ def minhash_near_dups(
     )
 
 
+# ------------------------------------------------------- dedup clustering
+
+
+def dedup_clusters(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (node, label)
+    where ``label`` is the minimum id reachable through pairs — the
+    cluster id a dedup pipeline keeps ONE representative per.
+
+    Iterative min-label propagation: each round is one equi-join (labels
+    flow one hop) plus a min-aggregation; converges in graph-diameter
+    rounds, which for near-dup clusters is tiny (they are dense blobs, not
+    long chains). Every round ends in localCheckpoint so the plan stays
+    constant-size, and the driver-side convergence probe (limit(1) on
+    changed labels) is O(1) rows. At corpus scale each round shuffles the
+    edge list once on node id — the standard large-graph CC shape
+    (label propagation, no driver-side graph materialization).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = und.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # ------------------------------------------------------------ simhash
 
 

@@ -342,7 +342,12 @@ def q_cdc_moves_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ReorderFiles.kt:150-184) and source-delete suppression."""
     from ..operators.apply import apply_derived_log
 
-    events = derive_change_events(spark, sf_dir, include_moves=True)
+    # spread the single-row-group test parquet before the multi-pass apply
+    # (the per-batch loop reads the derivation several times; without this
+    # every pass scans on ONE task — same rationale as q_docs_minhash_sig)
+    events = derive_change_events(spark, sf_dir, include_moves=True).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     good, _dead = resolve.validate(events, [])
     return apply_derived_log(spark, good, CDC_PAYLOAD)
 
@@ -1147,6 +1152,41 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Near-dup pairs → clusters → representatives: the step a training-data
+# dedup pipeline actually acts on (drop everything whose doc_id != its
+# cluster's min id). Engine: iterative min-label propagation
+# (dedup.dedup_clusters); oracle: DuckDB recursive CTE computing min
+# reachable id per node over the same pair graph.
+DOCS_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS ({DOCS_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+)
+SELECT node AS doc_id, min(label) AS cluster_id,
+       node = min(label) AS is_rep
+FROM walk GROUP BY node
+"""
+
+
+def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_docs_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    labels = dedup.dedup_clusters(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_rep"),
+    )
+
+
 def _simhash_sql() -> str:
     sums = ",\n    ".join(
         f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -1463,6 +1503,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_fingerprint": q_docs_fingerprint,
     "docs_minhash_sig": q_docs_minhash_sig,
     "docs_minhash_pairs": q_docs_minhash_pairs,
+    "docs_dedup_clusters": q_docs_dedup_clusters,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "docs_simhash": q_docs_simhash,
     "media_features": q_media_features,
@@ -1502,6 +1543,7 @@ ORACLES: dict[str, str] = {
     "docs_fingerprint": DOCS_FINGERPRINT_SQL,
     "docs_minhash_sig": DOCS_MINHASH_SQL,
     "docs_minhash_pairs": DOCS_MINHASH_PAIRS_SQL,
+    "docs_dedup_clusters": DOCS_DEDUP_CLUSTERS_SQL,
     "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
     "docs_simhash": DOCS_SIMHASH_SQL,
     "media_features": MEDIA_FEATURES_SQL,

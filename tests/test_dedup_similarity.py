@@ -105,6 +105,18 @@ def test_embedding_near_dups(spark, embs):
         assert r["cos"] >= 0.5
 
 
+def test_dedup_clusters_components(spark):
+    """Min-label connected components over a pair graph: a 4-node chain
+    (needs multi-round propagation), two separate 2-node components, and
+    a duplicate edge in both directions."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["label"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_banded_embedding_near_dups(spark):
     """Multi-table OR amplification: pair recall ⊇ any single table's, the
     bucket cap's kept/dropped accounting is surfaced (no silent
