@@ -1262,6 +1262,55 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media, decode_stub=True)
 
 
+# The end-to-end training-data shape: quality gate → language gate →
+# near-dup removal keeping one representative per cluster. Composes the
+# oracle-checked pieces (docs_quality, docs_lang_id, docs_dedup_clusters)
+# into the materialization a pipeline would actually write out.
+CLEAN_CORPUS_SQL = f"""
+WITH RECURSIVE
+pairs AS ({DOCS_MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+),
+drop_docs AS (
+  SELECT node AS doc_id FROM walk GROUP BY node HAVING node <> min(label)
+),
+quality AS ({DOCS_QUALITY_SQL}),
+lang AS ({DOCS_LANG_SQL})
+SELECT q.doc_id, q.quality, l.lang_pred
+FROM quality q
+JOIN lang l ON l.doc_id = q.doc_id
+WHERE q.route IN ('success', 'well-formed')
+  AND l.lang_pred <> 'und'
+  AND q.doc_id NOT IN (SELECT doc_id FROM drop_docs)
+"""
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = q_docs_quality(spark, sf_dir)
+    lang = q_docs_lang_id(spark, sf_dir)
+    drop = (
+        q_docs_dedup_clusters(spark, sf_dir)
+        .filter(~F.col("is_rep"))
+        .select("doc_id")
+    )
+    return (
+        q.filter(F.col("route").isin("success", "well-formed"))
+        .join(lang, "doc_id")
+        .filter(F.col("lang_pred") != "und")
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "quality", "lang_pred")
+    )
+
+
 # --------------------------------------------------------------------------
 # similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -1504,6 +1553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_minhash_sig": q_docs_minhash_sig,
     "docs_minhash_pairs": q_docs_minhash_pairs,
     "docs_dedup_clusters": q_docs_dedup_clusters,
+    "clean_corpus": q_clean_corpus,
     "docs_ngram_jaccard": q_docs_ngram_jaccard,
     "docs_simhash": q_docs_simhash,
     "media_features": q_media_features,
@@ -1544,6 +1594,7 @@ ORACLES: dict[str, str] = {
     "docs_minhash_sig": DOCS_MINHASH_SQL,
     "docs_minhash_pairs": DOCS_MINHASH_PAIRS_SQL,
     "docs_dedup_clusters": DOCS_DEDUP_CLUSTERS_SQL,
+    "clean_corpus": CLEAN_CORPUS_SQL,
     "docs_ngram_jaccard": NGRAM_JACCARD_SQL,
     "docs_simhash": DOCS_SIMHASH_SQL,
     "media_features": MEDIA_FEATURES_SQL,
