@@ -352,6 +352,31 @@ def q_cdc_moves_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_derived_log(spark, good, CDC_PAYLOAD)
 
 
+def q_cdc_moves_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The move semantics through the FULL production stack: binlog
+    segments → checkpointed stream → per-batch fenced LakeTable commits
+    (move batches keep their boundary; the table supplies the pre-batch
+    visible state via bucket-pruned reads) → visible table. Same oracle as
+    cdc_moves_final_state, so the streaming+table move path gets its own
+    hard correctness row instead of pytest-only coverage."""
+    from ..fixtures import write_binlog_segments
+    from ..streaming import runner
+    from ..table.lake import LakeTable
+
+    events = derive_change_events(spark, sf_dir, include_moves=True).cache()
+    tmp = tempfile.mkdtemp(prefix="cdc_moves_stream_")
+    flat = os.path.join(tmp, "flat")
+    write_binlog_segments(events, flat)
+    table = LakeTable.create(spark, os.path.join(tmp, "table"),
+                             payload_cols=CDC_PAYLOAD, n_buckets=8)
+    runner.run_to_completion(
+        spark, flat, table, os.path.join(tmp, "ckpt"), run_id="catalog-moves",
+        max_files_per_trigger=1,
+    )
+    events.unpersist()
+    return table.visible(spark)
+
+
 CDC_DEAD_LETTER_SQL = f"""
 WITH ev AS ({_EV_SQL_INVALID}),
 classified AS (
@@ -1527,6 +1552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lww_final_state": q_cdc_lww_final_state,
     "cdc_streaming_final_state": q_cdc_streaming_final_state,
     "cdc_moves_final_state": q_cdc_moves_final_state,
+    "cdc_moves_streaming": q_cdc_moves_streaming,
     "cdc_dead_letter": q_cdc_dead_letter,
     "cdc_id_synthesis": q_cdc_id_synthesis,
     "cdc_lineage_rollup": q_cdc_lineage_rollup,
@@ -1568,6 +1594,7 @@ ORACLES: dict[str, str] = {
     "cdc_lww_final_state": CDC_FINAL_STATE_SQL,
     "cdc_streaming_final_state": CDC_FINAL_STATE_SQL,
     "cdc_moves_final_state": CDC_MOVES_SQL,
+    "cdc_moves_streaming": CDC_MOVES_SQL,
     "cdc_dead_letter": CDC_DEAD_LETTER_SQL,
     "cdc_id_synthesis": CDC_ID_SYNTHESIS_SQL,
     "cdc_lineage_rollup": CDC_LINEAGE_SQL,
