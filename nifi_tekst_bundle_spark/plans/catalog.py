@@ -411,6 +411,85 @@ def q_cdc_id_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# P12 / additive schema evolution under the oracle: version-2 events carry
+# promoted keys in the ``extra`` map (the reference's opaque pass-through
+# fields, ReorderFiles.kt:396-406 / flowfile.json:3-7); the engine promotes
+# them to first-class LWW columns via the same validate() path merge_batch
+# uses, and the oracle folds them through the identical register machinery.
+_EVOLVED_PAYLOAD = ["role", "text", "tool", "language", "material_type"]
+_AGG_EVO, _VIS_EVO = _lww_agg_sql(_EVOLVED_PAYLOAD)
+
+CDC_EVOLUTION_SQL = f"""
+WITH ev AS ({_EV_SQL_VALID}),
+ev2 AS (
+  SELECT lsn, op,
+         coalesce(conv_id, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0')) AS conv_id,
+         turn_idx, role, text, tool,
+         CASE WHEN op <> 'delete' AND lsn % 3 = 0
+              THEN 'lang-' || CAST(lsn % 4 AS VARCHAR) END AS language,
+         CASE WHEN op <> 'delete' AND lsn % 3 = 0
+              THEN CASE WHEN lsn % 6 = 0 THEN 'avis' ELSE 'bok' END
+         END AS material_type
+  FROM ev
+),
+agg AS (
+  SELECT conv_id, turn_idx,
+    coalesce(max(lsn) FILTER (WHERE op <> 'delete'), -1) AS lup,
+    coalesce(max(lsn) FILTER (WHERE op = 'delete'), -1) AS ldel,
+    {_AGG_EVO}
+  FROM ev2 GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx, {_VIS_EVO} FROM agg WHERE lup > ldel
+"""
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..schemas import promoted_columns
+
+    base = derive_change_events(spark, sf_dir)
+    has_extra = (F.col("op") != "delete") & (F.col("lsn") % 3 == 0)
+    events = base.withColumn(
+        "extra",
+        F.when(
+            has_extra,
+            F.create_map(
+                F.lit("language"),
+                F.concat(F.lit("lang-"), (F.col("lsn") % 4).cast("string")),
+                F.lit("material_type"),
+                F.when(F.col("lsn") % 6 == 0, F.lit("avis")).otherwise(F.lit("bok")),
+            ),
+        ),
+    ).withColumn(
+        "schema_version", F.when(has_extra, F.lit(2)).otherwise(F.lit(1))
+    )
+    promoted = list(promoted_columns(2))
+    good, _dead = resolve.validate(events, promoted)
+    pay = CDC_PAYLOAD + promoted
+    normalized = good.select("lsn", "batch_id", "op", "conv_id", "turn_idx", *pay)
+    return lww.visible(lww.batch_registers(normalized, pay), pay)
+
+
+# Event-time windowed aggregation (the streaming metrics shape in batch
+# form): Spark's window() and DuckDB's time_bucket agree because both
+# align 5-minute buckets on epoch-multiple boundaries.
+EVENTS_TIME_WINDOWS_SQL = """
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
 CDC_LINEAGE_SQL = f"""
 WITH ev AS ({_EV_SQL_VALID})
 SELECT batch_id,
@@ -1556,6 +1635,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_dead_letter": q_cdc_dead_letter,
     "cdc_id_synthesis": q_cdc_id_synthesis,
     "cdc_lineage_rollup": q_cdc_lineage_rollup,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
+    "events_time_windows": q_events_time_windows,
     "q1_pricing_summary": q_pricing_summary,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "validation_aggregate": q_validation_aggregate,
@@ -1598,6 +1679,8 @@ ORACLES: dict[str, str] = {
     "cdc_dead_letter": CDC_DEAD_LETTER_SQL,
     "cdc_id_synthesis": CDC_ID_SYNTHESIS_SQL,
     "cdc_lineage_rollup": CDC_LINEAGE_SQL,
+    "cdc_schema_evolution": CDC_EVOLUTION_SQL,
+    "events_time_windows": EVENTS_TIME_WINDOWS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "top_parts_by_revenue": TOP_PARTS_SQL,
     "validation_aggregate": VALIDATION_AGG_SQL,
