@@ -176,7 +176,7 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
     cores_list = sorted({c for p in pairs for c in p})
     times: dict[int, list] = {c: [] for c in cores_list}
     cpu_times: dict[int, list] = {c: [] for c in cores_list}
-    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "4"))
+    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "5"))
     for _ in range(trials):
         for c in cores_list:
             spark = make_spark(c, parts=SCALING_PARTITIONS)

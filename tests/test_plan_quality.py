@@ -124,6 +124,28 @@ def test_hyperplane_signature_rejects_oversized_vectors(spark):
         bad.select(similarity.hyperplane_signature(F.col("v"), 4)).collect()
 
 
+def test_new_round2_queries_stay_jvm_side(spark):
+    """The round-2 oracle queries keep the scale posture: no row-at-a-time
+    Python anywhere, no cartesian joins; the one Python stage allowed is
+    the Arrow-batched MapInPandas in the media pipeline."""
+    for q in (
+        catalog.q_cdc_moves_final_state,
+        catalog.q_conv_document,
+        catalog.q_docs_minhash_pairs,
+        catalog.q_json_props_roundtrip,
+        catalog.q_rational_decimal,
+        catalog.q_cdc_schema_evolution,
+    ):
+        plan = _plan(q(spark, SF))
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+    media = _plan(catalog.q_media_features(spark, SF))
+    assert "MapInPandas" in media  # Arrow record batches, whole-batch Python
+    assert "BatchEvalPython" not in media  # never per-row pickled Python
+
+
 def test_projection_prunes_documents_scan(spark):
     df = catalog.q_docs_token_stats(spark, SF)
     fmt = _formatted(df)
