@@ -239,6 +239,20 @@ class LakeTable:
                     )
         return files
 
+    @staticmethod
+    def _register_ddl(payload_cols: list[str]) -> str:
+        return ", ".join(
+            ["conv_id string", "turn_idx int", "_lsn_up long", "_lsn_del long"]
+            + [
+                x
+                for c in payload_cols
+                for x in (
+                    f"{c} {'timestamp' if c == 'ts' else 'string'}",
+                    f"_l_{c} long",
+                )
+            ]
+        )
+
     def read_registers(
         self, spark: SparkSession, buckets: set[int] | None = None
     ) -> DataFrame:
@@ -248,21 +262,17 @@ class LakeTable:
             for f in m.files
             if buckets is None or f["bucket"] in buckets
         ]
+        ddl = self._register_ddl(m.payload_cols)
         if not paths:
-            schema = ", ".join(
-                ["conv_id string", "turn_idx int", "_lsn_up long", "_lsn_del long"]
-                + [
-                    x
-                    for c in m.payload_cols
-                    for x in (
-                        f"{c} {'timestamp' if c == 'ts' else 'string'}",
-                        f"_l_{c} long",
-                    )
-                ]
-            )
-            return spark.createDataFrame([], schema=schema)
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        return lww._align(df.drop(BUCKET_COL), m.payload_cols)
+            return spark.createDataFrame([], schema=ddl)
+        # The manifest IS the schema authority (Iceberg-style): read with
+        # the explicit schema instead of mergeSchema=true, which footer-
+        # scans every data file per read — a per-epoch O(files) metadata
+        # pass at scale. Parquet schema-on-read fills columns absent from
+        # old snapshots (pre-promotion files) with nulls, which the LWW
+        # register algebra already treats as "never assigned".
+        df = spark.read.schema(ddl).parquet(*paths)
+        return lww._align(df, m.payload_cols)
 
     def visible(self, spark: SparkSession) -> DataFrame:
         m = self.manifest()
