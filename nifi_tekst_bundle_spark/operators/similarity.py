@@ -127,6 +127,79 @@ def hyperplane_signature(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    k: int = 5,
+    centroid_stride: int = 100,
+    centroid_offset: int = 7,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse inverted cells + probed exact search.
+
+    Cells come from deterministic pivot vectors (every ``stride``-th
+    corpus id — no k-means RNG state, replayable, SQL-reproducible);
+    each vector joins its max-cosine pivot's cell, queries probe their
+    ``n_probe`` nearest cells, and exact cosine top-k runs inside probed
+    cells only. At corpus scale: the pivot set is tiny and broadcast
+    (assignment is a broadcast nested loop over ~n_centroids rows per
+    vector, embarrassingly parallel), the candidate join is an equi-join
+    on cell id, and the final window shuffles ~(queries × probed-cell
+    size) rows — the corpus is never self-joined. A production variant
+    would learn pivots with k-means; the cell/probe dataflow is
+    identical, which is the part that matters at 100 TB.
+    """
+    cents = corpus.filter(
+        F.col(id_col) % centroid_stride == centroid_offset
+    ).select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    asg = corpus.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cid"),
+        cosine(F.col(vec_col), F.col("cvec")).alias("ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    cells = (
+        asg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    qasg = queries.crossJoin(F.broadcast(cents)).select(
+        F.col(qid_col),
+        F.col(qvec_col),
+        F.col("cid"),
+        cosine(F.col(qvec_col), F.col("cvec")).alias("ccos"),
+    )
+    wq = Window.partitionBy(qid_col).orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        qasg.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(qid_col, qvec_col, "cid")
+    )
+    cand = cells.join(F.broadcast(probes), "cid")
+    scored = cand.select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos"),
+    )
+    w2 = Window.partitionBy(qid_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

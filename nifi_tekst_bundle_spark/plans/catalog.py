@@ -1453,6 +1453,62 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
+IVF_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cvec FROM e WHERE vec_id % 100 = 7),
+asg AS (
+  SELECT vec_id, v, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+  FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      {_DOT.format(a='e.v', b='c.cvec')}
+        / ({_NRM.format(a='e.v')} * {_NRM.format(a='c.cvec')}) AS ccos
+    FROM e CROSS JOIN c)
+),
+cells AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+qasg AS (
+  SELECT query_id, qv, cid,
+    row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS rn
+  FROM (
+    SELECT q.query_id, q.qv, c.cid,
+      {_DOT.format(a='q.qv', b='c.cvec')}
+        / ({_NRM.format(a='q.qv')} * {_NRM.format(a='c.cvec')}) AS ccos
+    FROM q CROSS JOIN c)
+),
+probes AS (SELECT query_id, qv, cid FROM qasg WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, s.vec_id,
+    round({_DOT.format(a='s.v', b='p.qv')}
+          / ({_NRM.format(a='s.v')} * {_NRM.format(a='p.qv')}), 6) AS cos
+  FROM cells s JOIN probes p ON p.cid = s.cid
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (deterministic pivots → cells → probed exact search)
+    — the second scale path named alongside LSH in the brief."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=5, centroid_stride=100, centroid_offset=7, n_probe=2
+    )
+
+
 EMBEDDING_NORMS_SQL = f"""
 SELECT vec_id,
   len(embedding) AS dims,
@@ -1666,6 +1722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "ann_topk": q_ann_topk,
     "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_banded": q_embedding_neardup_banded,
     "embedding_norms": q_embedding_norms,
@@ -1710,6 +1767,7 @@ ORACLES: dict[str, str] = {
     "media_features": MEDIA_FEATURES_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "lsh_topk": LSH_TOPK_SQL,
+    "ivf_topk": IVF_TOPK_SQL,
     "embedding_neardup": EMB_NEARDUP_SQL,
     "embedding_neardup_banded": EMB_NEARDUP_BANDED_SQL,
     "embedding_norms": EMBEDDING_NORMS_SQL,

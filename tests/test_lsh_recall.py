@@ -84,6 +84,32 @@ def test_banded_lsh_recall_beats_single_table(spark):
     assert r_banded >= 0.08, r_banded
 
 
+def test_ivf_topk_recall_at_5(spark):
+    """recall@5 of IVF probed search vs brute force; with 5 cells and
+    n_probe=2 the probed fraction is ~40% of the corpus, so recall must
+    land well above that floor (near neighbors concentrate in near cells)
+    and self-match is guaranteed (a vector's own cell is its top probe)."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(e, q, k=5).collect()
+    approx = similarity.ivf_topk(
+        e, q, k=5, centroid_stride=100, centroid_offset=7, n_probe=2
+    ).collect()
+    want, got = {}, {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(got.get(qid, set()) & ids) / len(ids) for qid, ids in want.items()
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert all(qid in got.get(qid, set()) for qid in want)
+    assert mean_recall >= 0.5, mean_recall
+
+
 def test_lsh_topk_recall_at_5(spark):
     """recall@5 of the bucketed top-k vs brute force over the same data."""
     e = _emb(spark)
