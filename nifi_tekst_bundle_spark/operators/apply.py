@@ -119,6 +119,12 @@ def apply_derived_log(
                 )
             )
             normalized, _dead = resolve.expand_moves(sub, pre, payload_cols)
+            # localCheckpoint truncates the pre-state plan embedded in the
+            # expansion: without it every later run's pre-fold references
+            # each earlier move-run's full lineage and plan size grows
+            # EXPONENTIALLY in the number of move-containing batches
+            # (apply_log does the same per batch)
+            normalized = normalized.localCheckpoint(eager=True)
         else:
             normalized = sub.select(*out_cols)
         norm_parts.append(normalized)

@@ -212,8 +212,15 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # silent non-convergence would return WRONG cluster ids (and diverge
+    # from the recursive-CTE oracle) — fail loudly instead; near-dup
+    # components with diameter > max_iter mean either pathological data
+    # or a too-small max_iter
+    raise RuntimeError(
+        f"dedup_clusters did not converge within {max_iter} iterations; "
+        "a component's diameter exceeds max_iter — raise max_iter"
+    )
 
 
 # ------------------------------------------------------------ simhash
@@ -399,9 +406,19 @@ def embedding_near_dups_banded(
         w = Window.partitionBy("table_id", "sig")
         counted = stacked.withColumn("_bc", F.count("*").over(w))
         if stats is not None:
-            bc = counted.select("table_id", "sig", "_bc").distinct()
-            stats["dropped_buckets"] = bc.filter(F.col("_bc") > bucket_cap).count()
-            stats["kept_buckets"] = bc.filter(F.col("_bc") <= bucket_cap).count()
+            # one action for both counts — a count() pair would recompute
+            # the full signature scan twice just to fill a dict
+            row = (
+                counted.select("table_id", "sig", "_bc")
+                .distinct()
+                .agg(
+                    F.sum((F.col("_bc") > bucket_cap).cast("int")).alias("d"),
+                    F.sum((F.col("_bc") <= bucket_cap).cast("int")).alias("k"),
+                )
+                .first()
+            )
+            stats["dropped_buckets"] = int(row["d"] or 0)
+            stats["kept_buckets"] = int(row["k"] or 0)
         stacked = counted.filter(F.col("_bc") <= bucket_cap).drop("_bc")
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (

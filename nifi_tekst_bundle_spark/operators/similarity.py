@@ -116,14 +116,13 @@ def hyperplane_signature(
     size_ok = (
         (F.size(vec) == dims) if dims is not None else (F.size(vec) <= _MAX_DIMS)
     )
+    msg = (
+        "hyperplane_signature: vector has %d dims, expected exactly %d (dims mode)"
+        if dims is not None
+        else "hyperplane_signature: vector has %d dims, max supported is %d"
+    )
     return F.when(size_ok, F.concat(*bits)).otherwise(
-        F.raise_error(
-            F.printf(
-                F.lit("hyperplane_signature: vector has %d dims, expected <= %d"),
-                F.size(vec),
-                F.lit(width),
-            )
-        )
+        F.raise_error(F.printf(F.lit(msg), F.size(vec), F.lit(width)))
     )
 
 

@@ -1114,6 +1114,12 @@ def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", tf.fingerprint(F.col("text")).alias("fp"))
 
 
+def _shingle_concat_sql(k: int) -> str:
+    """k-word shingle join — generated from k, never hardcoded, so a
+    non-default k cannot silently diverge from word_shingles(k)."""
+    return " || ' ' || ".join(f"words[i+{j + 1}]" for j in range(k))
+
+
 def _minhash_sql(n_hashes: int = 4, k: int = 3) -> str:
     mh = ",\n  ".join(
         f"list_min(list_transform(shingles, s -> ('0x' || substr(md5('mh{i}|' || s), 1, 15))::INT64)) AS minhash_{i}"
@@ -1128,7 +1134,7 @@ sh AS (
   SELECT doc_id,
     CASE WHEN len(words) >= {k}
          THEN list_transform(range(len(words) - {k - 1}),
-                             i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
+                             i -> {_shingle_concat_sql(k)})
          ELSE [array_to_string(words, ' ')] END AS shingles
   FROM base
 )
@@ -1213,7 +1219,7 @@ sh AS (
   SELECT doc_id,
     CASE WHEN len(words) >= {k}
          THEN list_transform(range(len(words) - {k - 1}),
-                             i -> words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])
+                             i -> {_shingle_concat_sql(k)})
          ELSE [array_to_string(words, ' ')] END AS shingles
   FROM base
 ),

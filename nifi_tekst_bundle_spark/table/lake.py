@@ -190,8 +190,13 @@ class LakeTable:
             # single-writer model that file is provably an orphan (no other
             # writer can have advanced past HEAD), so overwrite it instead
             # of bricking every subsequent commit until a manual vacuum().
-            with open(os.path.join(self.meta_dir, "HEAD")) as f:
-                head = int(f.read().strip())
+            # A missing HEAD means the crash hit before the FIRST swap —
+            # same orphan case, head 0.
+            try:
+                with open(os.path.join(self.meta_dir, "HEAD")) as f:
+                    head = int(f.read().strip())
+            except FileNotFoundError:
+                head = 0
             if head >= m.version:
                 os.remove(tmp)
                 raise ConcurrentCommitError(
@@ -425,16 +430,29 @@ class LakeTable:
         )
         self._append_lineage(lin)
 
-        # fence map: record this commit, drop fences behind the replay
-        # horizon (legacy int-valued entries carry no epoch — kept forever)
+        # fence map: record this commit (with a had-moves marker), then
+        # drop MOVE-FREE fences behind the replay horizon. Move-free
+        # re-application is idempotent by the register algebra (equal lsn,
+        # equal value), so losing those fences is harmless even if an
+        # operator replays with a fresh checkpoint; a re-applied MOVE
+        # batch would re-resolve against post-hoc state and corrupt
+        # registers, so move fences are kept forever — bounded by the
+        # move-batch rate, not the epoch count. Legacy entries (no marker)
+        # are never pruned.
         committed = dict(m.committed)
-        committed[fence_key] = [m.version + 1, int(epoch_id)]
+        committed[fence_key] = [m.version + 1, int(epoch_id), int(has_moves)]
         if epoch_id >= 0:
             horizon = int(epoch_id) - self.FENCE_WINDOW
             committed = {
                 k: v
                 for k, v in committed.items()
-                if not (isinstance(v, list) and v[1] >= 0 and v[1] < horizon)
+                if not (
+                    isinstance(v, list)
+                    and len(v) >= 3
+                    and not v[2]
+                    and v[1] >= 0
+                    and v[1] < horizon
+                )
             }
 
         kept = [f for f in m.files if f["bucket"] not in touched]
@@ -458,9 +476,11 @@ class LakeTable:
     def _append_lineage(self, rows: list[dict]) -> None:
         """Write one tiny parquet file of lineage rows (driver-side
         pyarrow — no Spark job for a handful of metric rows). Append-only:
-        manifest bytes stay O(1) in epoch count; duplicate files from a
-        crash-retry dedupe exactly on (fence_key, partition_id) because
-        the rows are deterministic per fence."""
+        manifest bytes stay O(1) in epoch count. Each write stamps an
+        ``attempt`` id; a crash-retry produces a second file for the same
+        fence whose per-partition row boundaries may differ (partition ids
+        are not stable across retries), so the read path keeps exactly one
+        attempt per fence rather than deduping row-by-row."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -471,11 +491,16 @@ class LakeTable:
             "double": pa.float64(),
         }
         os.makedirs(self.lineage_dir, exist_ok=True)
-        schema = pa.schema([(n, _PA[t]) for n, t in LINEAGE_FIELDS])
-        norm = [{n: r.get(n) for n, _ in LINEAGE_FIELDS} for r in rows]
+        attempt = uuid.uuid4().hex[:12]
+        fields = LINEAGE_FIELDS + [("attempt", "string")]
+        schema = pa.schema([(n, _PA[t]) for n, t in fields])
+        norm = [
+            {**{n: r.get(n) for n, _ in LINEAGE_FIELDS}, "attempt": attempt}
+            for r in rows
+        ]
         pq.write_table(
             pa.Table.from_pylist(norm, schema=schema),
-            os.path.join(self.lineage_dir, f"lin-{uuid.uuid4().hex[:12]}.parquet"),
+            os.path.join(self.lineage_dir, f"lin-{attempt}.parquet"),
         )
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:
@@ -501,9 +526,18 @@ class LakeTable:
         if os.path.isdir(self.lineage_dir) and any(
             f.endswith(".parquet") for f in os.listdir(self.lineage_dir)
         ):
+            from pyspark.sql import Window
+
+            # keep exactly ONE attempt per fence: partition ids are not
+            # stable across crash-retries, so row-level dedupe could mix
+            # rows of different attempts and double-count
+            w = Window.partitionBy("fence_key")
             side = (
-                spark.read.parquet(self.lineage_dir)
-                .dropDuplicates(["fence_key", "partition_id"])
+                spark.read.schema(LINEAGE_DDL + ", attempt string")
+                .parquet(self.lineage_dir)
+                .withColumn("_att", F.coalesce(F.col("attempt"), F.lit("")))
+                .withColumn("_keep", F.min("_att").over(w))
+                .filter(F.col("_att") == F.col("_keep"))
                 .select(*[n for n, _ in LINEAGE_FIELDS])
             )
             return legacy.unionByName(side)
@@ -543,19 +577,27 @@ class LakeTable:
         referenced = {f["path"] for f in m.files}
         for d in m.dead_letter_files:
             referenced.add(d["path"])
+            # legacy dead-letter entries reference whole directories
+            if os.path.isdir(d["path"]):
+                for fn in os.listdir(d["path"]):
+                    referenced.add(os.path.join(d["path"], fn))
         removed = 0
-        for fn in os.listdir(self.data_dir):
-            p = os.path.join(self.data_dir, fn)
-            # a per-commit directory is live iff any referenced data file
-            # lives under it (files are written in place, never moved)
-            live = p in referenced or any(
-                r.startswith(p + os.sep) for r in referenced
-            )
-            if not live:
-                if os.path.isdir(p):
-                    shutil.rmtree(p, ignore_errors=True)
-                else:
+        # file-level sweep: a commit directory may be PARTIALLY live (a
+        # later commit rewrote some of its buckets), so reclaim individual
+        # unreferenced data files, then prune directories with no live
+        # file beneath them — otherwise one live bucket would pin every
+        # superseded sibling file forever and disk would grow without
+        # bound over a long replay
+        for dirpath, _dirnames, filenames in os.walk(self.data_dir, topdown=False):
+            for fn in filenames:
+                p = os.path.join(dirpath, fn)
+                if fn.endswith(".parquet") and p not in referenced:
                     os.remove(p)
+                    removed += 1
+            if dirpath == self.data_dir or dirpath in referenced:
+                continue
+            if not any(r.startswith(dirpath + os.sep) for r in referenced):
+                shutil.rmtree(dirpath, ignore_errors=True)
                 removed += 1
         # crashed-commit recovery: manifest files beyond HEAD (a writer
         # died between the CAS create and the HEAD swap) and leftover

@@ -202,6 +202,58 @@ def test_runner_move_batches_keep_boundaries(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_vacuum_reclaims_superseded_files_in_partially_live_dirs(spark, tmp_path):
+    """A later commit rewriting bucket B must let vacuum() reclaim the
+    superseded B-files inside earlier commit directories even while those
+    directories still hold other live buckets — one live bucket must not
+    pin dead siblings forever."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    for i in range(6):
+        table.merge_batch(
+            spark, _one_insert_batch(spark, lsn=i + 1),
+            fence_key=f"r/e{i}/b", epoch_id=i,
+        )
+    table.vacuum()
+    on_disk = []
+    for dirpath, _d, files in os.walk(table.data_dir):
+        on_disk += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+    referenced = {f["path"] for f in table.manifest().files}
+    assert set(on_disk) == referenced  # nothing dead survives vacuum
+    assert table.visible(spark).count() == 1  # state intact
+
+
+def test_move_fences_survive_window_pruning(spark, tmp_path):
+    """Move-batch fences are kept beyond FENCE_WINDOW (their re-apply is
+    the one non-idempotent case); move-free fences prune normally."""
+    import pandas as pd
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    table.FENCE_WINDOW = 3
+    table.merge_batch(
+        spark, _one_insert_batch(spark, lsn=1), fence_key="r/e0000/b", epoch_id=0
+    )
+    move = pd.DataFrame(
+        [
+            {
+                "lsn": 2, "batch_id": "b1", "op": "move",
+                "conv_id": "conv-x", "turn_idx": 2,
+                "src_conv_id": "conv-fixed", "src_turn_idx": 1,
+                "role": None, "text": None, "tool": None, "ts": None,
+                "extra": None, "schema_version": 1,
+            }
+        ]
+    )
+    table.merge_batch(spark, spark_events(spark, move), fence_key="r/e0001/m", epoch_id=1)
+    for i in range(2, 8):
+        table.merge_batch(
+            spark, _one_insert_batch(spark, lsn=i + 10),
+            fence_key=f"r/e{i:04d}/b", epoch_id=i,
+        )
+    committed = table.manifest().committed
+    assert "r/e0001/m" in committed  # move fence never pruned
+    assert "r/e0000/b" not in committed  # move-free fence pruned
+
+
 def test_plan_runs_grouping():
     mk = runner.plan_runs
     assert mk([("b0", False), ("b1", False), ("b2", False)]) == [["b0", "b1", "b2"]]
