@@ -27,8 +27,8 @@ from nifi_tekst_bundle_spark.table.lake import LakeTable
 from .conftest import normalize_frame, spark_events, spark_seed
 
 
-def _one_insert_batch(spark, lsn: int, conv: str = "conv-fixed"):
-    pdf = pd.DataFrame(
+def _to_pdf(lsn: int, conv: str = "conv-fixed") -> pd.DataFrame:
+    return pd.DataFrame(
         [
             {
                 "lsn": lsn,
@@ -47,7 +47,10 @@ def _one_insert_batch(spark, lsn: int, conv: str = "conv-fixed"):
             }
         ]
     )
-    return spark_events(spark, pdf)
+
+
+def _one_insert_batch(spark, lsn: int, conv: str = "conv-fixed"):
+    return spark_events(spark, _to_pdf(lsn, conv))
 
 
 def _manifest_bytes(table: LakeTable) -> int:
@@ -207,19 +210,36 @@ def test_vacuum_reclaims_superseded_files_in_partially_live_dirs(spark, tmp_path
     superseded B-files inside earlier commit directories even while those
     directories still hold other live buckets — one live bucket must not
     pin dead siblings forever."""
+    import pandas as pd
+
     table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=2)
-    for i in range(6):
+    # conv-0 hashes to bucket 0, conv-1 to bucket 1 (xxhash64 seed 42):
+    # the first commit writes BOTH buckets into one commit dir...
+    both = pd.concat(
+        [
+            _to_pdf(lsn=1, conv="conv-0"),
+            _to_pdf(lsn=2, conv="conv-1"),
+        ]
+    )
+    table.merge_batch(spark, spark_events(spark, both), fence_key="r/e0/b", epoch_id=0)
+    first_commit_files = {f["path"] for f in table.manifest().files}
+    # ...then only bucket 0 is rewritten, so the first commit dir stays
+    # PARTIALLY live (its bucket-1 file referenced, its bucket-0 file dead)
+    for i in range(1, 6):
         table.merge_batch(
-            spark, _one_insert_batch(spark, lsn=i + 1),
+            spark, _one_insert_batch(spark, lsn=i + 10, conv="conv-0"),
             fence_key=f"r/e{i}/b", epoch_id=i,
         )
+    live_b1 = {f["path"] for f in table.manifest().files} & first_commit_files
+    assert live_b1  # the partial-liveness setup holds
     table.vacuum()
     on_disk = []
     for dirpath, _d, files in os.walk(table.data_dir):
         on_disk += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
     referenced = {f["path"] for f in table.manifest().files}
-    assert set(on_disk) == referenced  # nothing dead survives vacuum
-    assert table.visible(spark).count() == 1  # state intact
+    assert set(on_disk) == referenced  # dead siblings reclaimed, live kept
+    assert live_b1 <= set(on_disk)
+    assert table.visible(spark).count() == 2  # state intact
 
 
 def test_move_fences_survive_window_pruning(spark, tmp_path):
