@@ -171,8 +171,14 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
     # 3.2× (eff 0.80). 8→32 is still published (with its same-window
     # raw-CPU ceiling) as supplementary evidence; on that pair the
     # efficiency number measures the hypervisor, not the engine.
-    pairs = [(max(cpus // 8, 2), max(cpus // 2, 8)),
-             (max(cpus // 4, 2), cpus)]
+    # clamp to the host's CPU count (an N→4N pair must never run more
+    # threads than exist — that measures oversubscription, not scaling)
+    # and dedupe (at CPUS=8 both formulas give (2,8))
+    raw_pairs = [
+        (max(cpus // 8, 2), min(max(cpus // 2, 8), cpus)),
+        (max(cpus // 4, 2), cpus),
+    ]
+    pairs = list(dict.fromkeys(p for p in raw_pairs if p[0] < p[1]))
     cores_list = sorted({c for p in pairs for c in p})
     times: dict[int, list] = {c: [] for c in cores_list}
     cpu_times: dict[int, list] = {c: [] for c in cores_list}

@@ -90,16 +90,9 @@ def apply_derived_log(
     the reference's disk probe (ReorderFiles.kt:150-184) and the streaming
     runner's run coalescing (streaming.runner.plan_runs). Returns the final
     visible transcripts state."""
-    from ..streaming.runner import plan_runs  # local: avoids import cycle
+    from ..streaming.runner import batch_move_runs  # local: avoids cycle
 
-    info = (
-        good.groupBy("batch_id")
-        .agg(F.max((F.col("op") == "move").cast("int")).alias("m"))
-        .orderBy("batch_id")
-        .collect()
-    )
-    has_move = {r["batch_id"]: bool(r["m"]) for r in info}
-    runs = plan_runs([(r["batch_id"], bool(r["m"])) for r in info])
+    runs, has_move = batch_move_runs(good)
     out_cols = resolve.NORMALIZED_COLS + payload_cols
     # Registers are commutative, so instead of chaining full-outer register
     # merges per run, collect each run's NORMALIZED events and fold the

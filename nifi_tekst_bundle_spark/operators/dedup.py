@@ -406,8 +406,12 @@ def embedding_near_dups_banded(
         w = Window.partitionBy("table_id", "sig")
         counted = stacked.withColumn("_bc", F.count("*").over(w))
         if stats is not None:
-            # one action for both counts — a count() pair would recompute
-            # the full signature scan twice just to fill a dict
+            # persist the bucketed scan so the stats action and the main
+            # pipeline share ONE signature computation (without persist the
+            # n_tables × hyperplane scan — the expensive stage — runs once
+            # for stats and again for the candidate join); the cache spills
+            # to disk and lives until the session clears it
+            counted = counted.persist()
             row = (
                 counted.select("table_id", "sig", "_bc")
                 .distinct()

@@ -121,8 +121,15 @@ def hyperplane_signature(
         if dims is not None
         else "hyperplane_signature: vector has %d dims, max supported is %d"
     )
-    return F.when(size_ok, F.concat(*bits)).otherwise(
-        F.raise_error(F.printf(F.lit(msg), F.size(vec), F.lit(width)))
+    # NULL vectors yield a NULL signature (dropped by the downstream
+    # equi-joins, matching pre-guard behavior) — only a PRESENT vector of
+    # the wrong width is a data error worth killing the job for
+    return (
+        F.when(vec.isNull(), F.lit(None).cast("string"))
+        .when(size_ok, F.concat(*bits))
+        .otherwise(
+            F.raise_error(F.printf(F.lit(msg), F.size(vec), F.lit(width)))
+        )
     )
 
 

@@ -72,6 +72,23 @@ def plan_runs(batch_moves: list[tuple[str, bool]]) -> list[list[str]]:
     return runs
 
 
+def batch_move_runs(
+    df: DataFrame,
+) -> tuple[list[list[str]], dict[str, bool]]:
+    """Shared move-detection: producer batches in ascending batch_id with
+    their has-moves flag, grouped into commit runs via plan_runs. Returns
+    (runs, has_move_by_batch). Used by both the streaming epoch body and
+    the batch-mode apply_derived_log so the two paths cannot diverge."""
+    info = (
+        df.groupBy("batch_id")
+        .agg(F.max((F.col("op") == "move").cast("int")).alias("has_move"))
+        .orderBy("batch_id")
+        .collect()
+    )
+    batch_moves = [(r["batch_id"], bool(r["has_move"])) for r in info]
+    return plan_runs(batch_moves), dict(batch_moves)
+
+
 def make_apply_fn(table: LakeTable, run_id: str, stats: StreamStats,
                   fail_after: list[int] | None = None,
                   hot_key_threshold: int | None = None,
@@ -88,22 +105,37 @@ def make_apply_fn(table: LakeTable, run_id: str, stats: StreamStats,
         stats.epochs_seen += 1
         epoch_df = epoch_df.persist()
         try:
-            info = (
-                epoch_df.groupBy("batch_id")
-                .agg(F.max((F.col("op") == "move").cast("int")).alias("has_move"))
-                .orderBy("batch_id")
-                .collect()
-            )
-            batch_moves = [(r["batch_id"], bool(r["has_move"])) for r in info]
+            runs, _has_move = batch_move_runs(epoch_df)
             if not coalesce_move_free:
-                runs = [[bid] for bid, _ in batch_moves]
-            else:
-                runs = plan_runs(batch_moves)
+                runs = [[bid] for run in runs for bid in run]
+            committed = set(table.manifest().committed)
             for run in runs:
                 # single-batch fences keep the round-1 format so existing
                 # checkpoints/fence maps stay valid across upgrades
                 label = run[0] if len(run) == 1 else f"{run[0]}~{run[-1]}"
                 fence = f"{run_id}/e{epoch_id}/{label}"
+                # upgrade path: an epoch whose batches were committed under
+                # per-batch fences (older layout, or coalescing toggled)
+                # must not re-apply as a coalesced run — that would append
+                # its dead letters and lineage a second time
+                if len(run) > 1 and all(
+                    f"{run_id}/e{epoch_id}/{bid}" in committed for bid in run
+                ):
+                    stats.batches_skipped += len(run)
+                    continue
+                if len(run) == 1:
+                    # ...and the reverse: a batch already covered by a
+                    # committed coalesced-run fence (first~last range,
+                    # batch ids are lexicographic) must not re-apply solo
+                    pref = f"{run_id}/e{epoch_id}/"
+                    spans = [
+                        k[len(pref):].split("~")
+                        for k in committed
+                        if k.startswith(pref) and "~" in k[len(pref):]
+                    ]
+                    if any(lo <= run[0] <= hi for lo, hi in spans):
+                        stats.batches_skipped += 1
+                        continue
                 sub = epoch_df.filter(F.col("batch_id").isin(run))
                 applied = table.merge_batch(
                     epoch_df.sparkSession, sub, fence_key=fence,

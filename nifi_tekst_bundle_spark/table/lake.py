@@ -40,6 +40,7 @@ import json
 import os
 import re
 import shutil
+import time as _time
 import uuid
 from dataclasses import dataclass
 
@@ -117,6 +118,11 @@ class LakeTable:
     # growing one fence entry per epoch over a 10^10-event replay.
     FENCE_WINDOW = 64
 
+    # An existing target manifest younger than this is treated as an
+    # in-flight competing commit (ConcurrentCommitError), not a crash
+    # orphan — reclaiming a live writer's file would erase its commit.
+    ORPHAN_GRACE_SECONDS = 60.0
+
     def __init__(self, root: str):
         self.root = root
         self.meta_dir = os.path.join(root, "metadata")
@@ -191,16 +197,24 @@ class LakeTable:
             # writer can have advanced past HEAD), so overwrite it instead
             # of bricking every subsequent commit until a manual vacuum().
             # A missing HEAD means the crash hit before the FIRST swap —
-            # same orphan case, head 0.
+            # same orphan case, head 0. A file YOUNGER than the grace
+            # period is treated as an in-flight competitor (misconfigured
+            # second writer between its create and swap), not an orphan —
+            # reclaiming it would silently erase the winner's commit.
             try:
                 with open(os.path.join(self.meta_dir, "HEAD")) as f:
                     head = int(f.read().strip())
             except FileNotFoundError:
                 head = 0
-            if head >= m.version:
+            age = _time.time() - os.path.getmtime(path)
+            if head >= m.version or age < self.ORPHAN_GRACE_SECONDS:
                 os.remove(tmp)
                 raise ConcurrentCommitError(
                     f"snapshot v{m.version} already committed by another writer"
+                    if head >= m.version
+                    else f"snapshot v{m.version} exists and is {age:.1f}s old — "
+                    "possible in-flight writer; retry after the grace period "
+                    "or vacuum() from the single writer"
                 ) from None
         os.replace(tmp, path)
         head_tmp = os.path.join(self.meta_dir, f"HEAD.tmp-{uuid.uuid4().hex[:8]}")
@@ -498,10 +512,13 @@ class LakeTable:
             {**{n: r.get(n) for n, _ in LINEAGE_FIELDS}, "attempt": attempt}
             for r in rows
         ]
-        pq.write_table(
-            pa.Table.from_pylist(norm, schema=schema),
-            os.path.join(self.lineage_dir, f"lin-{attempt}.parquet"),
-        )
+        # write to a tmp name + atomic rename: a crash mid-write must not
+        # leave a footer-less parquet file that breaks every later
+        # lineage_df() read (nothing sweeps lineage_dir)
+        final = os.path.join(self.lineage_dir, f"lin-{attempt}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(pa.Table.from_pylist(norm, schema=schema), tmp)
+        os.replace(tmp, final)
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         m = self.manifest()
@@ -568,11 +585,13 @@ class LakeTable:
         commits) and leftover staging dirs — the deleteOcrWorkFiles
         analogue (ReorderFiles.kt:276-298).
 
-        MUST only run from the single writer (like the commit path): a
-        vacuum racing an in-flight commit could sweep the winner's
-        just-created manifest between its CAS and HEAD swap. HEAD is
-        re-read immediately before the metadata sweep to shrink that
-        window; the real guarantee is the single-writer contract."""
+        MUST only run from the single writer (like the commit path). The
+        data-file sweep works from one manifest snapshot and CANNOT be
+        made safe against a racing commit (a commit landing mid-walk would
+        have its files deleted as unreferenced) — the single-writer
+        contract is the guarantee, not the HEAD re-read. The re-read
+        before the metadata sweep only narrows the window in which a
+        just-created manifest could be mistaken for an orphan."""
         m = self.manifest()
         referenced = {f["path"] for f in m.files}
         for d in m.dead_letter_files:

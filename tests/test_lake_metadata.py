@@ -17,6 +17,7 @@ Round-2 hardening of the LakeTable commit path:
 from __future__ import annotations
 
 import os
+import time as _time_mod
 
 import pandas as pd
 
@@ -140,6 +141,9 @@ def test_orphan_manifest_reclaimed_after_crash_window(spark, tmp_path):
     orphan = os.path.join(table.meta_dir, f"v{head + 1:06d}.json")
     with open(orphan, "w") as f:
         f.write('{"torn": "crash left this behind"}')
+    # age the orphan past the in-flight-writer grace period
+    past = _time_mod.time() - 2 * LakeTable.ORPHAN_GRACE_SECONDS
+    os.utime(orphan, (past, past))
     # HEAD still points at `head`; the next commit targets head+1 and must
     # reclaim the orphan instead of raising ConcurrentCommitError forever
     assert table.merge_batch(
