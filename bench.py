@@ -47,6 +47,8 @@ HEADLINE = [
     "docs_minhash_pairs",
     "docs_simhash",
     "docs_nfc",
+    "xml_extract",
+    "conv_document_v2",
     "media_features",
     "ann_topk",
     "lsh_topk",
@@ -182,11 +184,18 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
     cores_list = sorted({c for p in pairs for c in p})
     times: dict[int, list] = {c: [] for c in cores_list}
     cpu_times: dict[int, list] = {c: [] for c in cores_list}
-    # 4 interleaved trials × 4 configs ≈ 35 min end-to-end on this VM —
-    # measured twice; a higher count risks overrunning the per-round
-    # bench window for marginal min-statistic improvement
-    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "4"))
-    for _ in range(trials):
+    # Trial layout: ROUNDS interleaved passes over the configs; within a
+    # round each config gets ONE session (one untimed warmup pays the
+    # JIT/codegen/footer/page-cache cost per JVM) and RUNS timed applies.
+    # Min-of-all-trials is the statistic — this host's CPU steal only ever
+    # ADDS time, so more draws per wall-clock minute move each config's
+    # min toward its quiet-window truth, which is what the N→4N ratio
+    # needs (a single stolen 16-core trial deflates efficiency ~10 pts).
+    # 3 rounds × 2 runs = 6 trials/config ≈ 25 min end-to-end, cheaper
+    # than 6 rounds × 1 run (which would pay 6 warmups).
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
+    runs_per_session = int(os.environ.get("BENCH_SCALING_RUNS", "2"))
+    for _ in range(rounds):
         for c in cores_list:
             spark = make_spark(c, parts=SCALING_PARTITIONS)
             try:
@@ -196,7 +205,8 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
                 # JIT + codegen + parquet-footer + page-cache costs that
                 # have nothing to do with core-count scaling
                 apply_from_disk(spark, ev_dir)
-                times[c].append(apply_from_disk(spark, ev_dir))
+                for _r in range(runs_per_session):
+                    times[c].append(apply_from_disk(spark, ev_dir))
             finally:
                 spark.stop()
             # raw-CPU probe in the SAME load window as the Spark trial —
@@ -205,7 +215,11 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
             cpu_times[c].append(run_pool(c))
     best = {c: min(ts) for c, ts in times.items()}
     cpu_best = {c: min(ts) for c, ts in cpu_times.items()}
-    out: dict = {"events": n_events, "trials": trials, "configs": {}}
+    out: dict = {
+        "events": n_events,
+        "trials": rounds * runs_per_session,
+        "configs": {},
+    }
     for c in cores_list:
         out["configs"][str(c)] = {
             "cores": c,

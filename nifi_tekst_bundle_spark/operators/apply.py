@@ -92,47 +92,50 @@ def apply_derived_log(
     visible transcripts state."""
     from ..streaming.runner import batch_move_runs  # local: avoids cycle
 
+    # Materialize the validated input ONCE: the move-detection collect, every
+    # run's filter and the move expansion all re-read it, and without this the
+    # whole upstream derivation (scan + validate) re-executes per pass —
+    # measured 13.4s vs 1.5s for the identical-size move-free query at sf0.1.
+    # localCheckpoint (not persist) so the blocks are released by the context
+    # cleaner when the returned plan is dropped, instead of pinning session
+    # cache until an explicit unpersist nobody is positioned to call.
+    good = good.localCheckpoint(eager=True)
     runs, has_move = batch_move_runs(good)
     out_cols = resolve.NORMALIZED_COLS + payload_cols
-    # Registers are commutative, so instead of chaining full-outer register
-    # merges per run, collect each run's NORMALIZED events and fold the
-    # union ONCE at the end; an intermediate fold is computed only when a
-    # later run actually contains moves (it needs the visible state so
-    # far). Move-free runs skip the expansion joins entirely.
-    norm_parts: list[DataFrame] = []
+    # Fold incrementally: registers are commutative+associative, so merging
+    # each run's batch registers into the accumulated state via
+    # combine_registers is exact — and the state computed for a move run's
+    # pre-batch resolution is REUSED by the final fold instead of re-folding
+    # every event from scratch (the round-2 formulation folded the full
+    # normalized union twice more per move batch).
+    state: DataFrame | None = None
     for run in runs:
         sub = good.filter(F.col("batch_id").isin(run))
         if any(has_move[bid] for bid in run):
+            if state is not None:
+                # the state feeds both the pre-visible expansion join and
+                # the final merge: checkpoint truncates its lineage so plan
+                # size stays constant per move batch (without it each move
+                # run embeds every earlier run's full plan — growth was
+                # exponential in move-batch count)
+                state = state.localCheckpoint(eager=True)
             pre = (
                 _empty_visible(spark, payload_cols)
-                if not norm_parts
-                else lww.visible(
-                    lww.batch_registers(_union(norm_parts), payload_cols),
-                    payload_cols,
-                )
+                if state is None
+                else lww.visible(state, payload_cols)
             )
             normalized, _dead = resolve.expand_moves(sub, pre, payload_cols)
-            # localCheckpoint truncates the pre-state plan embedded in the
-            # expansion: without it every later run's pre-fold references
-            # each earlier move-run's full lineage and plan size grows
-            # EXPONENTIALLY in the number of move-containing batches
-            # (apply_log does the same per batch)
-            normalized = normalized.localCheckpoint(eager=True)
         else:
             normalized = sub.select(*out_cols)
-        norm_parts.append(normalized)
-    if not norm_parts:
+        bregs = lww.batch_registers(normalized, payload_cols)
+        state = (
+            bregs
+            if state is None
+            else lww.combine_registers(state, bregs, payload_cols)
+        )
+    if state is None:
         return _empty_visible(spark, payload_cols)
-    return lww.visible(
-        lww.batch_registers(_union(norm_parts), payload_cols), payload_cols
-    )
-
-
-def _union(parts: list[DataFrame]) -> DataFrame:
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return lww.visible(state, payload_cols)
 
 
 def batch_lineage(

@@ -236,12 +236,19 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per doc: per-token 60-bit hashes, sign-summed per bit.
 
     Pure narrow projection — the sign-sum folds over the row's own token
-    array (hash each token once, zip the ±1 bit vector into a 60-long
-    accumulator, then pack sign bits), so there is NO explode and NO
-    shuffle; at corpus scale it runs embarrassingly parallel over the scan.
-    An explode → 60-conditional-sum groupBy formulation measured ~6×
-    slower at sf0.1 (row-expansion overhead + shuffle), bit-identical
-    output.
+    array (hash each token once, update a 60-long ±1 accumulator via
+    index-aware ``transform``, then pack sign bits), so there is NO explode
+    and NO shuffle; at corpus scale it runs embarrassingly parallel over
+    the scan.
+
+    Formulation choice, measured head-to-head in one session at sf0.1
+    (5000 docs, local[32], min of 3 trials, bit-identical outputs):
+    this index-aware transform fold 0.26 s; the previous
+    zip_with(acc, sequence(0,59)) fold 0.36 s (the per-token sequence()
+    materialization is pure allocator overhead); explode → 60-conditional-
+    sum groupBy 1.00 s (row expansion + shuffle). An earlier docstring
+    claimed ~6× for fold-vs-explode from a noisier cross-session compare —
+    the honest same-session gap is ~4× (and ~2.8× for the old fold).
 
     NULL-text rows are dropped (the fold yields a NULL simhash), matching
     the explode→groupBy formulation and the SQL oracle's unnest, both of
@@ -250,15 +257,14 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     expr = F.expr(
         f"""
       aggregate(
-        zip_with(
+        transform(
           aggregate(
             transform(split(lower(trim({text_col})), '\\\\s+'), t -> {_HASH64_SQL}),
             array_repeat(CAST(0 AS BIGINT), 60),
-            (acc, h) -> zip_with(acc, sequence(0, 59),
-              (a, b) -> a + CASE WHEN shiftright(h, CAST(b AS INT)) & 1 = 1
-                              THEN 1 ELSE -1 END)
+            (acc, h) -> transform(acc, (a, b) ->
+              a + CASE WHEN shiftright(h, CAST(b AS INT)) & 1 = 1
+                       THEN 1 ELSE -1 END)
           ),
-          sequence(0, 59),
           (s, b) -> CASE WHEN s > 0
                          THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))
                          ELSE CAST(0 AS BIGINT) END
@@ -406,12 +412,16 @@ def embedding_near_dups_banded(
         w = Window.partitionBy("table_id", "sig")
         counted = stacked.withColumn("_bc", F.count("*").over(w))
         if stats is not None:
-            # persist the bucketed scan so the stats action and the main
-            # pipeline share ONE signature computation (without persist the
+            # materialize the bucketed scan so the stats action and the main
+            # pipeline share ONE signature computation (without it the
             # n_tables × hyperplane scan — the expensive stage — runs once
-            # for stats and again for the candidate join); the cache spills
-            # to disk and lives until the session clears it
-            counted = counted.persist()
+            # for stats and again for the candidate join). localCheckpoint,
+            # NOT persist: checkpoint blocks are released by the context
+            # cleaner when the returned plan is garbage collected, whereas a
+            # persist here would pin the scan in executor storage until an
+            # unpersist nobody downstream is positioned to call (repeated
+            # calls — bench trials — would accumulate cached copies)
+            counted = counted.localCheckpoint(eager=True)
             row = (
                 counted.select("table_id", "sig", "_bc")
                 .distinct()

@@ -1685,6 +1685,275 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# P11 true form (util/XmlHelper.kt:54-127, jhove/JhoveParser.kt:110-121):
+# build an XML document per row, then extract fields back with XPath —
+# attributes, namespace-agnostic element steps (the local-name() rewrite
+# standing in for XmlHelper's NamespaceContext), repeated-element counts and
+# first-match text. The oracle checks the round trip against the source
+# columns directly, which is stronger than re-parsing: extraction must
+# invert construction exactly.
+XML_EXTRACT_SQL = """
+WITH built AS (
+  SELECT doc_id, lang, source, text,
+    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+      AS body,
+    string_split(text, ' ') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(doc_id AS VARCHAR) AS xml_id,
+  lang AS xml_lang,
+  source AS xml_src,
+  CAST(least(5, len(toks)) AS BIGINT) AS n_w,
+  toks[1] AS first_w,
+  CAST(length(body) AS INT) AS body_len
+FROM built
+"""
+
+
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import xml as xf
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.col("text"), " "), 1, 5)
+    ws = F.array_join(
+        F.transform(toks, lambda t: F.concat(F.lit("<w>"), t, F.lit("</w>"))),
+        "",
+    )
+    xml = F.concat(
+        F.lit('<doc id="'), F.col("doc_id").cast("string"),
+        F.lit('" lang="'), F.col("lang"), F.lit('">'),
+        F.lit("<src>"), F.col("source"), F.lit("</src>"),
+        F.lit("<body>"), xf.xml_escape(F.col("text")), F.lit("</body>"),
+        ws, F.lit("</doc>"),
+    )
+    d = docs.select("doc_id", xml.alias("_xml"))
+    x = F.col("_xml")
+    return d.select(
+        "doc_id",
+        xf.xpath_first(x, "/doc/@id").alias("xml_id"),
+        xf.xpath_first(x, "/doc/@lang").alias("xml_lang"),
+        # namespace-prefixed path — exercises the local-name() rewrite the
+        # way the reference's mets:/mix: paths exercise its NamespaceContext
+        xf.xpath_first_null(x, "/m:doc/m:src").alias("xml_src"),
+        xf.xpath_count(x, "/doc/w").alias("n_w"),
+        xf.xpath_first_null(x, "/doc/w").alias("first_w"),
+        F.length(xf.xpath_first(x, "/doc/body")).alias("body_len"),
+    )
+
+
+# A1 at full METS depth with P12 version dispatch
+# (MetsBrowsingModel.kt:23-218 nested tree; MetsBrowsingGenerator.kt:60-63
+# picks the serializer version; MetsBrowsingSerializer.kt:280-412 vs
+# Mets2BrowsingSerializer.kt:12-52 render DIFFERENT deterministic formats):
+# build a nested document struct (header + ordered per-turn structs +
+# rollup stats), dispatch on a data-derived version, render each version
+# with its own exact format, oracle-check the md5 of the rendered string —
+# the golden-file equality test (CreateMetsBrowsingTest.kt:368-411) as a
+# value-hash row.
+CONV_DOCUMENT_V2_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL}),
+agg AS (
+  SELECT conv_id, count(*) AS n_turns,
+    sum(length(coalesce(text, ''))) AS chars,
+    sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS tool_turns,
+    string_agg('[' || lpad(CAST(turn_idx AS VARCHAR), 5, '0') || '] ' ||
+               coalesce(role, '') || '|' || coalesce(text, '') || '|' ||
+               coalesce(tool, ''), chr(10) ORDER BY turn_idx) AS body1,
+    string_agg('<t i="' || CAST(turn_idx AS VARCHAR) || '" r="' ||
+               coalesce(role, '') || '">' || coalesce(text, '') || '</t>',
+               '' ORDER BY turn_idx) AS body2
+  FROM final GROUP BY conv_id
+)
+SELECT conv_id,
+  CAST(CASE WHEN n_turns % 2 = 0 THEN 2 ELSE 1 END AS INT) AS version,
+  n_turns,
+  md5(CASE WHEN n_turns % 2 = 0
+      THEN '<conv id="' || conv_id || '" v="2" turns="' ||
+           CAST(n_turns AS VARCHAR) || '">' || body2 ||
+           '<stats tool_turns="' || CAST(tool_turns AS VARCHAR) ||
+           '" chars="' || CAST(chars AS VARCHAR) || '"/></conv>'
+      ELSE 'DOC v1 ' || conv_id || ' turns=' || CAST(n_turns AS VARCHAR) ||
+           chr(10) || body1 || chr(10) || 'chars=' || CAST(chars AS VARCHAR)
+      END) AS doc_md5
+FROM agg
+"""
+
+
+def q_conv_document_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final = q_cdc_lww_final_state(spark, sf_dir)
+    st = F.struct(
+        F.col("turn_idx").alias("t"),
+        F.col("role").alias("r"),
+        F.col("text").alias("x"),
+        F.col("tool").alias("o"),
+    )
+    # the nested document: header + ordered turn structs + rollup stats —
+    # one StructType value per conversation, like the reference's in-memory
+    # METS tree before serialization
+    agg = final.groupBy("conv_id").agg(
+        F.struct(
+            F.struct(
+                F.count("*").alias("n_turns"),
+            ).alias("header"),
+            F.array_sort(F.collect_list(st)).alias("turns"),
+            F.struct(
+                F.sum(F.col("tool").isNotNull().cast("int")).alias("tool_turns"),
+                F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("chars"),
+            ).alias("stats"),
+        ).alias("doc")
+    )
+    n_turns = F.col("doc.header.n_turns")
+    chars = F.col("doc.stats.chars")
+    tool_turns = F.col("doc.stats.tool_turns")
+    version = F.when(n_turns % 2 == 0, F.lit(2)).otherwise(F.lit(1))
+    render_v1 = F.concat(
+        F.lit("DOC v1 "), F.col("conv_id"),
+        F.lit(" turns="), n_turns.cast("string"), F.lit("\n"),
+        F.array_join(
+            F.transform(
+                F.col("doc.turns"),
+                lambda s: F.concat(
+                    F.lit("["), F.lpad(s["t"].cast("string"), 5, "0"),
+                    F.lit("] "), F.coalesce(s["r"], F.lit("")),
+                    F.lit("|"), F.coalesce(s["x"], F.lit("")),
+                    F.lit("|"), F.coalesce(s["o"], F.lit("")),
+                ),
+            ),
+            "\n",
+        ),
+        F.lit("\nchars="), chars.cast("string"),
+    )
+    render_v2 = F.concat(
+        F.lit('<conv id="'), F.col("conv_id"),
+        F.lit('" v="2" turns="'), n_turns.cast("string"), F.lit('">'),
+        F.array_join(
+            F.transform(
+                F.col("doc.turns"),
+                lambda s: F.concat(
+                    F.lit('<t i="'), s["t"].cast("string"),
+                    F.lit('" r="'), F.coalesce(s["r"], F.lit("")),
+                    F.lit('">'), F.coalesce(s["x"], F.lit("")), F.lit("</t>"),
+                ),
+            ),
+            "",
+        ),
+        F.lit('<stats tool_turns="'), tool_turns.cast("string"),
+        F.lit('" chars="'), chars.cast("string"), F.lit('"/></conv>'),
+    )
+    doc = F.when(version == 2, render_v2).otherwise(render_v1)
+    return agg.select(
+        "conv_id",
+        version.alias("version"),
+        n_turns.alias("n_turns"),
+        F.md5(doc.cast("binary")).alias("doc_md5"),
+    )
+
+
+# A4/O1 under deliberate skew (the north-star's "salted-key repartitioning
+# to defuse hot-conversation skew"): ~half of all change events target ONE
+# (conv_id, turn_idx) key, and the merge runs through the production table
+# path with hot-key detection enabled, so the salted two-phase register
+# aggregation (operators.lww.salted_batch_registers) is exercised
+# end-to-end under the oracle — previously pytest-only.
+CDC_HOT_KEY_SQL = f"""
+WITH ev AS (
+  SELECT event_id + 1 AS lsn,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'purchase' THEN 'update'
+              ELSE 'insert' END AS op,
+         CASE WHEN user_id % 2 = 0 THEN 'conv-hot'
+              WHEN user_id % 7 = 0 AND event_type NOT IN ('error','purchase')
+              THEN NULL
+              ELSE 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') END AS conv_id,
+         CAST(CASE WHEN user_id % 2 = 0 THEN 0 ELSE event_id % 25 END AS INT)
+           AS turn_idx,
+         CASE WHEN event_type <> 'error' THEN event_type END AS role,
+         CASE WHEN event_type <> 'error' AND value > 50
+              THEN 'v' || CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS VARCHAR) END AS text,
+         CASE WHEN event_type <> 'error' AND value > 100 THEN 'hot' END AS tool
+  FROM events
+),
+ev2 AS (
+  SELECT lsn, op,
+         coalesce(conv_id, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0')) AS conv_id,
+         turn_idx, role, text, tool
+  FROM ev
+),
+agg AS (
+  SELECT conv_id, turn_idx,
+    coalesce(max(lsn) FILTER (WHERE op <> 'delete'), -1) AS lup,
+    coalesce(max(lsn) FILTER (WHERE op = 'delete'), -1) AS ldel,
+    {_AGG}
+  FROM ev2 GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx,
+  {_VIS}
+FROM agg WHERE lup > ldel
+"""
+
+
+def derive_hot_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic change log with ~50%% of events on one key."""
+    ev = _read(spark, sf_dir, "events")
+    hot = F.col("user_id") % 2 == 0
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "purchase", F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+    conv = (
+        F.when(hot, F.lit("conv-hot"))
+        .when(
+            (F.col("user_id") % 7 == 0)
+            & ~F.col("event_type").isin("error", "purchase"),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(
+            F.concat(F.lit("conv-"), F.lpad(F.col("user_id").cast("string"), 6, "0"))
+        )
+    )
+    dec_text = F.concat(
+        F.lit("v"),
+        F.round(F.col("value"), 2).cast("decimal(18,2)").cast("string"),
+    )
+    return ev.select(
+        (F.col("event_id") + 1).alias("lsn"),
+        F.lit("b00").alias("batch_id"),
+        op.alias("op"),
+        conv.alias("conv_id"),
+        F.when(hot, F.lit(0)).otherwise(F.col("event_id") % 25).cast("int").alias("turn_idx"),
+        F.lit(None).cast("string").alias("src_conv_id"),
+        F.lit(None).cast("int").alias("src_turn_idx"),
+        F.when(F.col("event_type") != "error", F.col("event_type")).alias("role"),
+        F.when((F.col("event_type") != "error") & (F.col("value") > 50), dec_text).alias("text"),
+        F.when((F.col("event_type") != "error") & (F.col("value") > 100), F.lit("hot")).alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("map<string,string>").alias("extra"),
+        F.lit(1).alias("schema_version"),
+    )
+
+
+def q_cdc_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew through the PRODUCTION path: merge_batch with hot-key
+    detection on, so the per-key count probe fires and the salted
+    two-phase register aggregation handles the ~50%%-on-one-key batch
+    (exact by the register algebra's associativity — same oracle shape as
+    cdc_lww_final_state over the skewed derivation)."""
+    from ..table.lake import LakeTable
+
+    events = derive_hot_key_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdc_hot_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "table"), payload_cols=CDC_PAYLOAD, n_buckets=8
+    )
+    applied = table.merge_batch(
+        spark, events, fence_key="hot/e0/b00", epoch_id=0, hot_key_threshold=100
+    )
+    assert applied, "hot-key merge must commit"
+    return table.visible(spark)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1732,6 +2001,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_banded": q_embedding_neardup_banded,
     "embedding_norms": q_embedding_norms,
+    "xml_extract": q_xml_extract,
+    "conv_document_v2": q_conv_document_v2,
+    "cdc_hot_key": q_cdc_hot_key,
 }
 
 ORACLES: dict[str, str] = {
@@ -1777,4 +2049,7 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": EMB_NEARDUP_SQL,
     "embedding_neardup_banded": EMB_NEARDUP_BANDED_SQL,
     "embedding_norms": EMBEDDING_NORMS_SQL,
+    "xml_extract": XML_EXTRACT_SQL,
+    "conv_document_v2": CONV_DOCUMENT_V2_SQL,
+    "cdc_hot_key": CDC_HOT_KEY_SQL,
 }

@@ -109,25 +109,50 @@ def make_apply_fn(table: LakeTable, run_id: str, stats: StreamStats,
             if not coalesce_move_free:
                 runs = [[bid] for run in runs for bid in run]
             committed = set(table.manifest().committed)
+            pref = f"{run_id}/e{epoch_id}/"
+
+            def commit(batch_ids: list[str], fence: str) -> None:
+                sub = epoch_df.filter(F.col("batch_id").isin(batch_ids))
+                applied = table.merge_batch(
+                    epoch_df.sparkSession, sub, fence_key=fence,
+                    batch_id=",".join(batch_ids), epoch_id=epoch_id,
+                    hot_key_threshold=hot_key_threshold,
+                )
+                if applied:
+                    stats.batches_applied += len(batch_ids)
+                    stats.commits += 1
+                    stats.fence_keys.append(fence)
+                    if fail_after is not None and stats.batches_applied >= fail_after[0]:
+                        raise RuntimeError("injected failure after commit")
+                else:
+                    stats.batches_skipped += len(batch_ids)
+
             for run in runs:
-                # single-batch fences keep the round-1 format so existing
-                # checkpoints/fence maps stay valid across upgrades
-                label = run[0] if len(run) == 1 else f"{run[0]}~{run[-1]}"
-                fence = f"{run_id}/e{epoch_id}/{label}"
-                # upgrade path: an epoch whose batches were committed under
-                # per-batch fences (older layout, or coalescing toggled)
-                # must not re-apply as a coalesced run — that would append
-                # its dead letters and lineage a second time
-                if len(run) > 1 and all(
-                    f"{run_id}/e{epoch_id}/{bid}" in committed for bid in run
-                ):
-                    stats.batches_skipped += len(run)
-                    continue
-                if len(run) == 1:
+                if len(run) > 1:
+                    # upgrade path: an epoch whose batches were committed
+                    # under per-batch fences (older layout, or coalescing
+                    # toggled) must not re-apply as a coalesced run — that
+                    # would append its dead letters and lineage a second
+                    # time. PARTIAL per-batch coverage (a pre-coalescing
+                    # run crashed mid-epoch) falls back to per-batch
+                    # application of only the uncommitted batches: a
+                    # coalesced fence over the whole run would re-append
+                    # side-table rows for the already-committed ones.
+                    done = [bid for bid in run if f"{pref}{bid}" in committed]
+                    if len(done) == len(run):
+                        stats.batches_skipped += len(run)
+                        continue
+                    if done:
+                        for bid in run:
+                            if f"{pref}{bid}" in committed:
+                                stats.batches_skipped += 1
+                            else:
+                                commit([bid], f"{pref}{bid}")
+                        continue
+                else:
                     # ...and the reverse: a batch already covered by a
                     # committed coalesced-run fence (first~last range,
                     # batch ids are lexicographic) must not re-apply solo
-                    pref = f"{run_id}/e{epoch_id}/"
                     spans = [
                         k[len(pref):].split("~")
                         for k in committed
@@ -136,24 +161,75 @@ def make_apply_fn(table: LakeTable, run_id: str, stats: StreamStats,
                     if any(lo <= run[0] <= hi for lo, hi in spans):
                         stats.batches_skipped += 1
                         continue
-                sub = epoch_df.filter(F.col("batch_id").isin(run))
-                applied = table.merge_batch(
-                    epoch_df.sparkSession, sub, fence_key=fence,
-                    batch_id=",".join(run), epoch_id=epoch_id,
-                    hot_key_threshold=hot_key_threshold,
-                )
-                if applied:
-                    stats.batches_applied += len(run)
-                    stats.commits += 1
-                    stats.fence_keys.append(fence)
-                    if fail_after is not None and stats.batches_applied >= fail_after[0]:
-                        raise RuntimeError("injected failure after commit")
-                else:
-                    stats.batches_skipped += len(run)
+                # single-batch fences keep the round-1 format so existing
+                # checkpoints/fence maps stay valid across upgrades
+                label = run[0] if len(run) == 1 else f"{run[0]}~{run[-1]}"
+                commit(run, pref + label)
         finally:
             epoch_df.unpersist()
 
     return apply_epoch
+
+
+def start_continuous(
+    spark: SparkSession,
+    events_dir: str,
+    table: LakeTable,
+    checkpoint_dir: str,
+    run_id: str = "run",
+    processing_time: str = "500 milliseconds",
+    max_files_per_trigger: int = 1,
+    fail_after: list[int] | None = None,
+    hot_key_threshold: int | None = None,
+    coalesce_move_free: bool = True,
+):
+    """Long-running production mode: a ProcessingTime trigger that keeps
+    polling ``events_dir`` for new binlog segments — the deployment shape
+    of the reference's continuously scheduled processor
+    (ReorderFiles.kt:330 onTrigger + the NiFi timer), where
+    run_to_completion's AvailableNow is the drain-and-stop variant.
+
+    Returns ``(query, stats)``; the caller owns the query's lifetime. Stop
+    gracefully with :func:`stop_gracefully` — but exactly-once does NOT
+    depend on a graceful stop: every commit is fenced inside the manifest
+    swap, so a kill -9 between sub-batches resumes from the checkpoint
+    with re-delivered batches fenced out (proven by
+    test_processing_time_live_appends_crash_resume)."""
+    stats = StreamStats()
+    src = (
+        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            make_apply_fn(table, run_id, stats, fail_after, hot_key_threshold,
+                          coalesce_move_free)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=processing_time)
+        .start()
+    )
+    return q, stats
+
+
+def stop_gracefully(q, timeout_sec: float = 30.0) -> None:
+    """Stop a continuous query after its in-flight trigger finishes: wait
+    for the query to go idle (no new data available), then stop. Fences
+    make a hard stop safe too; graceful stop just avoids wasting a
+    partially applied epoch's work."""
+    import time
+
+    deadline = time.time() + timeout_sec
+    while time.time() < deadline:
+        if not q.isActive:
+            return
+        s = q.status
+        if not s["isDataAvailable"] and not s["isTriggerActive"]:
+            break
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination(int(timeout_sec))
 
 
 def run_to_completion(

@@ -70,9 +70,16 @@ class Manifest:
     payload_cols: list[str]
     n_buckets: int
     files: list[dict]  # {path, bucket, rows}
-    committed: dict  # fence_key -> version
+    committed: dict  # fence_key -> [version, epoch, has_moves, attempt]
     lineage: list[dict]
     dead_letter_files: list[dict]
+    # Compaction replay floor: compact_tombstones() dropped tombstones with
+    # _lsn_del below this, so an event with lsn < lsn_watermark can no longer
+    # be applied safely (an upsert below a compacted delete would resurrect
+    # the deleted row). merge_batch dead-letters such events. 0 = never
+    # compacted (event lsns start at 1). Missing in legacy manifests →
+    # dataclass default.
+    lsn_watermark: int = 0
 
     @staticmethod
     def empty(n_buckets: int, payload_cols: list[str]) -> "Manifest":
@@ -194,28 +201,53 @@ class LakeTable:
             # Orphan reclaim: a prior crash between this CAS create and the
             # HEAD swap leaves v{n}.json existing while HEAD < n. Under the
             # single-writer model that file is provably an orphan (no other
-            # writer can have advanced past HEAD), so overwrite it instead
-            # of bricking every subsequent commit until a manual vacuum().
-            # A missing HEAD means the crash hit before the FIRST swap —
-            # same orphan case, head 0. A file YOUNGER than the grace
-            # period is treated as an in-flight competitor (misconfigured
-            # second writer between its create and swap), not an orphan —
-            # reclaiming it would silently erase the winner's commit.
+            # writer can have advanced past HEAD). A missing HEAD means the
+            # crash hit before the FIRST swap — same orphan case, head 0.
+            # Reclaim is deliberately conservative — age alone is NOT enough
+            # (clock skew on network filesystems; a second writer stalled in
+            # a GC pause would have its commit silently erased):
+            #   - torn/invalid file (fails Manifest.from_json — the crash
+            #     hit between the O_EXCL create and the content replace)
+            #     AND older than the grace period → reclaim;
+            #   - VALID manifest beyond HEAD (crash between content replace
+            #     and HEAD swap, or a live competitor mid-commit — the two
+            #     are indistinguishable without a lock service) → never
+            #     silently overwrite; raise and direct the operator to
+            #     vacuum() from the single writer, which sweeps beyond-HEAD
+            #     metadata. The commit it discards never landed (HEAD is
+            #     the commit point) and its epoch will be re-delivered.
             try:
                 with open(os.path.join(self.meta_dir, "HEAD")) as f:
                     head = int(f.read().strip())
             except FileNotFoundError:
                 head = 0
             age = _time.time() - os.path.getmtime(path)
-            if head >= m.version or age < self.ORPHAN_GRACE_SECONDS:
+            try:
+                with open(path) as f:
+                    Manifest.from_json(f.read())
+                torn = False
+            except Exception:
+                torn = True
+            if head >= m.version or not torn or age < self.ORPHAN_GRACE_SECONDS:
                 os.remove(tmp)
-                raise ConcurrentCommitError(
-                    f"snapshot v{m.version} already committed by another writer"
-                    if head >= m.version
-                    else f"snapshot v{m.version} exists and is {age:.1f}s old — "
-                    "possible in-flight writer; retry after the grace period "
-                    "or vacuum() from the single writer"
-                ) from None
+                if head >= m.version:
+                    msg = f"snapshot v{m.version} already committed by another writer"
+                elif not torn:
+                    msg = (
+                        f"snapshot v{m.version} exists and parses as a valid "
+                        "manifest while HEAD is behind — a crashed writer died "
+                        "between its content write and HEAD swap, or a second "
+                        "writer is mid-commit. Refusing to overwrite; run "
+                        "vacuum() from the single writer to reclaim it."
+                    )
+                else:
+                    msg = (
+                        f"snapshot v{m.version} exists (torn) and is only "
+                        f"{age:.1f}s old — possible in-flight writer between "
+                        "its CAS create and content write; retry after the "
+                        "grace period or vacuum() from the single writer"
+                    )
+                raise ConcurrentCommitError(msg) from None
         os.replace(tmp, path)
         head_tmp = os.path.join(self.meta_dir, f"HEAD.tmp-{uuid.uuid4().hex[:8]}")
         with open(head_tmp, "w") as f:
@@ -253,10 +285,37 @@ class LakeTable:
             bdir = os.path.join(out, entry)
             for fn in sorted(os.listdir(bdir)):
                 if fn.endswith(".parquet"):
+                    p = os.path.join(bdir, fn)
                     files.append(
-                        {"path": os.path.join(bdir, fn), "bucket": b, "rows": -1}
+                        {"path": p, "bucket": b, "rows": -1,
+                         "bytes": os.path.getsize(p)}
                     )
+        self._warn_if_buckets_oversized(files, n_buckets)
         return files
+
+    # Copy-on-write rewrites whole buckets, so per-epoch cost is bounded by
+    # bucket size: past this, rewriting one touched bucket dwarfs the change
+    # set and the operator should grow the layout (rebucket()) before data
+    # grows further. Tunable because the right ceiling depends on executor
+    # memory and commit latency targets.
+    BUCKET_WARN_BYTES = int(
+        os.environ.get("LAKE_BUCKET_WARN_BYTES", str(512 * 1024 * 1024))
+    )
+
+    def _warn_if_buckets_oversized(self, files: list[dict], n_buckets: int) -> None:
+        worst = max((f.get("bytes", 0) for f in files), default=0)
+        if worst > self.BUCKET_WARN_BYTES:
+            import warnings
+
+            warnings.warn(
+                f"largest bucket data file is {worst / 2**20:.0f} MiB "
+                f"(> {self.BUCKET_WARN_BYTES / 2**20:.0f} MiB) at "
+                f"n_buckets={n_buckets}: every epoch touching it rewrites "
+                "that much — run LakeTable.rebucket() with a larger bucket "
+                "count before the table grows further",
+                RuntimeWarning,
+                stacklevel=3,
+            )
 
     @staticmethod
     def _register_ddl(payload_cols: list[str]) -> str:
@@ -311,6 +370,7 @@ class LakeTable:
         epoch_id: int = -1,
         hot_key_threshold: int | None = None,
         n_salts: int = 8,
+        commit_retries: int = 2,
     ) -> bool:
         """Apply one declarative change batch as an atomic, fenced commit.
 
@@ -322,11 +382,42 @@ class LakeTable:
         key exceeds the threshold the register aggregation runs the salted
         two-phase path (lww.salted_batch_registers) so a hot conversation
         cannot pin an epoch to one shuffle partition.
+
+        Optimistic concurrency: on ConcurrentCommitError (another writer won
+        the manifest CAS) the whole merge re-reads HEAD, re-resolves against
+        the new snapshot and retries, up to ``commit_retries`` times — the
+        Iceberg retry loop. The failed attempt's data files and side-table
+        rows are unreferenced orphans (side rows are deleted eagerly, data
+        files by vacuum()). The engine's production deployment is still
+        single-writer (the streaming driver); the retry guards the
+        misconfigured-second-writer case without silent lossage.
         """
+        for attempt_no in range(commit_retries + 1):
+            try:
+                return self._merge_batch_once(
+                    spark, events, fence_key, batch_id, epoch_id,
+                    hot_key_threshold, n_salts,
+                )
+            except ConcurrentCommitError:
+                if attempt_no == commit_retries:
+                    raise
+        return False  # unreachable
+
+    def _merge_batch_once(
+        self,
+        spark: SparkSession,
+        events: DataFrame,
+        fence_key: str,
+        batch_id: str | None,
+        epoch_id: int,
+        hot_key_threshold: int | None,
+        n_salts: int,
+    ) -> bool:
         m = self.manifest()
         if fence_key in m.committed:
             return False
         n_buckets = m.n_buckets
+        attempt = uuid.uuid4().hex[:12]
 
         # additive schema evolution: promote columns demanded by the batch
         max_sv_row = events.agg(F.max("schema_version")).first()
@@ -338,6 +429,20 @@ class LakeTable:
 
         promoted = [c for c in payload_cols if c not in PAYLOAD_COLUMNS]
         good, dead1 = resolve.validate(events, promoted)
+        # Compaction replay floor: once compact_tombstones(w) dropped
+        # tombstones below w, replaying an event with lsn < w could
+        # resurrect a compacted delete (the register algebra's idempotence
+        # argument needs the tombstone present). Such events can only come
+        # from a replay outside the fence window (e.g. a fresh checkpoint
+        # over an already-applied log) — dead-letter them loudly instead of
+        # corrupting state.
+        lsn_wm = int(getattr(m, "lsn_watermark", 0) or 0)
+        if lsn_wm > 0:
+            stale = good.filter(F.col("lsn") < lsn_wm).withColumn(
+                "reason", F.lit("stale_lsn_below_compaction_watermark")
+            )
+            dead1 = dead1.unionByName(stale, allowMissingColumns=True)
+            good = good.filter(F.col("lsn") >= lsn_wm)
         good = good.persist()
 
         # move-source resolution against pre-batch visible state — prune to
@@ -422,14 +527,21 @@ class LakeTable:
         ]
         dead = dead1.select("lsn", "batch_id", "op", "reason").unionByName(
             dead2.select("lsn", "batch_id", "op", "reason")
-        )
+        ).persist()  # one derivation feeds both the count and the write
         dl_count = dead.count()
+        dl_path = os.path.join(self.dl_dir, f"att-{attempt}")
         if dl_count:
-            # append-only side-table; rows are deterministic per fence, so a
-            # crash-retry duplicate file dedupes exactly on (fence_key, lsn)
-            dead.withColumn("fence_key", F.lit(fence_key)).coalesce(1).write.mode(
-                "append"
-            ).parquet(self.dl_dir)
+            # per-attempt subdir in the append-only side-table: rows are
+            # deterministic per fence (dedupe on (fence_key, lsn) covers
+            # crash-retry duplicates) and the subdir makes a failed
+            # commit's rows deletable without touching other attempts
+            (
+                dead.withColumn("fence_key", F.lit(fence_key))
+                .withColumn("attempt", F.lit(attempt))
+                .coalesce(1)
+                .write.parquet(dl_path)
+            )
+        dead.unpersist()
         lin.append(
             {
                 "fence_key": fence_key,
@@ -442,7 +554,7 @@ class LakeTable:
                 "dead_lettered": dl_count,
             }
         )
-        self._append_lineage(lin)
+        lin_path = self._append_lineage(lin, attempt)
 
         # fence map: record this commit (with a had-moves marker), then
         # drop MOVE-FREE fences behind the replay horizon. Move-free
@@ -454,7 +566,7 @@ class LakeTable:
         # move-batch rate, not the epoch count. Legacy entries (no marker)
         # are never pruned.
         committed = dict(m.committed)
-        committed[fence_key] = [m.version + 1, int(epoch_id), int(has_moves)]
+        committed[fence_key] = [m.version + 1, int(epoch_id), int(has_moves), attempt]
         if epoch_id >= 0:
             horizon = int(epoch_id) - self.FENCE_WINDOW
             committed = {
@@ -478,23 +590,38 @@ class LakeTable:
             committed=committed,
             lineage=m.lineage,
             dead_letter_files=m.dead_letter_files,
+            lsn_watermark=lsn_wm,
         )
-        self._write_manifest(new_manifest)
-        good.unpersist()
-        normalized.unpersist()
-        bregs.unpersist()
+        try:
+            self._write_manifest(new_manifest)
+        except ConcurrentCommitError:
+            # the commit never landed: eagerly remove this attempt's
+            # side-table rows so lineage_df()/dead_letters() cannot report
+            # a phantom commit (data files become vacuum()-able orphans)
+            try:
+                os.remove(lin_path)
+            except OSError:
+                pass
+            shutil.rmtree(dl_path, ignore_errors=True)
+            raise
+        finally:
+            good.unpersist()
+            normalized.unpersist()
+            bregs.unpersist()
         return True
 
     # ---------- maintenance / introspection ----------
 
-    def _append_lineage(self, rows: list[dict]) -> None:
+    def _append_lineage(self, rows: list[dict], attempt: str) -> str:
         """Write one tiny parquet file of lineage rows (driver-side
         pyarrow — no Spark job for a handful of metric rows). Append-only:
-        manifest bytes stay O(1) in epoch count. Each write stamps an
-        ``attempt`` id; a crash-retry produces a second file for the same
-        fence whose per-partition row boundaries may differ (partition ids
-        are not stable across retries), so the read path keeps exactly one
-        attempt per fence rather than deduping row-by-row."""
+        manifest bytes stay O(1) in epoch count. Each write stamps the
+        commit's ``attempt`` id (also recorded in the manifest's committed
+        map): a crash-retry produces a second file for the same fence whose
+        per-partition row boundaries may differ (partition ids are not
+        stable across retries), so the read path keeps exactly the attempt
+        the manifest committed rather than deduping row-by-row. Returns the
+        written path so a failed commit can delete its own rows."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -505,7 +632,6 @@ class LakeTable:
             "double": pa.float64(),
         }
         os.makedirs(self.lineage_dir, exist_ok=True)
-        attempt = uuid.uuid4().hex[:12]
         fields = LINEAGE_FIELDS + [("attempt", "string")]
         schema = pa.schema([(n, _PA[t]) for n, t in fields])
         norm = [
@@ -519,6 +645,68 @@ class LakeTable:
         tmp = final + ".tmp"
         pq.write_table(pa.Table.from_pylist(norm, schema=schema), tmp)
         os.replace(tmp, final)
+        return final
+
+    def _fence_validity(self, spark: SparkSession, m: Manifest):
+        """Phantom-commit filter inputs for the side-table read paths.
+
+        Returns (fences_df | None, horizon): ``fences_df`` maps each fence
+        key in the manifest's committed map to the attempt id that actually
+        committed (null for pre-attempt legacy entries); ``horizon`` is the
+        epoch below which move-free fences may have been pruned from the
+        window — side rows for fences behind it are assumed committed
+        (their fence entry aged out), rows for unknown fences at or above
+        it are phantoms from commits that never landed (crash + re-derived
+        fences) and are dropped. New-style rows are attempt-stamped; rows
+        with a null attempt predate stamping and are kept as before."""
+        entries = [
+            (
+                k,
+                v[3]
+                if isinstance(v, list) and len(v) >= 4 and isinstance(v[3], str)
+                else None,
+            )
+            for k, v in m.committed.items()
+        ]
+        fences = (
+            spark.createDataFrame(
+                entries, "fence_key string, _m_att string"
+            ).withColumn("_in_m", F.lit(True))
+            if entries
+            else None
+        )
+        epochs = [
+            int(v[1])
+            for v in m.committed.values()
+            if isinstance(v, list) and len(v) >= 2 and int(v[1]) >= 0
+        ]
+        horizon = (max(epochs) - self.FENCE_WINDOW) if epochs else None
+        return fences, horizon
+
+    @staticmethod
+    def _keep_side_rows(df: DataFrame, fences, horizon, epoch_col: F.Column):
+        """Apply the phantom filter: committed fences keep the committed
+        attempt (legacy entries/rows keep everything for that fence);
+        unknown fences keep only pre-attempt legacy rows or rows behind the
+        pruning horizon."""
+        if fences is not None:
+            df = df.join(F.broadcast(fences), "fence_key", "left")
+        else:
+            df = df.withColumn("_m_att", F.lit(None).cast("string")).withColumn(
+                "_in_m", F.lit(None).cast("boolean")
+            )
+        att = F.col("attempt")
+        in_m = F.coalesce(F.col("_in_m"), F.lit(False))
+        matched = in_m & (
+            F.col("_m_att").isNull() | att.isNull() | (att == F.col("_m_att"))
+        )
+        behind = (
+            F.lit(False)
+            if horizon is None
+            else (epoch_col >= 0) & (epoch_col < F.lit(horizon))
+        )
+        keep = matched | (~in_m & (att.isNull() | behind))
+        return df.filter(keep).drop("_m_att", "_in_m")
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         m = self.manifest()
@@ -545,14 +733,22 @@ class LakeTable:
         ):
             from pyspark.sql import Window
 
+            side = spark.read.schema(LINEAGE_DDL + ", attempt string").parquet(
+                self.lineage_dir
+            )
+            # phantom filter: a crash after the side-table append but before
+            # the manifest swap (followed by an epoch that re-derives
+            # different fences) leaves rows for a fence that never
+            # committed — drop anything the manifest doesn't vouch for
+            fences, horizon = self._fence_validity(spark, m)
+            side = self._keep_side_rows(side, fences, horizon, F.col("epoch_id"))
             # keep exactly ONE attempt per fence: partition ids are not
             # stable across crash-retries, so row-level dedupe could mix
-            # rows of different attempts and double-count
+            # rows of different attempts and double-count (the manifest
+            # usually pins one attempt already; min covers legacy rows)
             w = Window.partitionBy("fence_key")
             side = (
-                spark.read.schema(LINEAGE_DDL + ", attempt string")
-                .parquet(self.lineage_dir)
-                .withColumn("_att", F.coalesce(F.col("attempt"), F.lit("")))
+                side.withColumn("_att", F.coalesce(F.col("attempt"), F.lit("")))
                 .withColumn("_keep", F.min("_att").over(w))
                 .filter(F.col("_att") == F.col("_keep"))
                 .select(*[n for n, _ in LINEAGE_FIELDS])
@@ -569,12 +765,25 @@ class LakeTable:
             out = spark.read.parquet(*paths).withColumn(
                 "fence_key", F.lit(None).cast("string")
             )
-        if os.path.isdir(self.dl_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.dl_dir)
-        ):
-            side = spark.read.parquet(self.dl_dir).dropDuplicates(
-                ["fence_key", "lsn"]
-            ).select("lsn", "batch_id", "op", "reason", "fence_key")
+        if os.path.isdir(self.dl_dir) and os.listdir(self.dl_dir):
+            # recursiveFileLookup: new-style rows live in per-attempt
+            # subdirs (deletable on a failed commit), legacy rows are flat
+            # files; the explicit schema null-fills the legacy attempt
+            side = (
+                spark.read.schema(schema + ", attempt string")
+                .option("recursiveFileLookup", "true")
+                .parquet(self.dl_dir)
+            )
+            fences, horizon = self._fence_validity(spark, m)
+            epoch = F.regexp_extract(
+                F.col("fence_key"), r".*/e(-?\d+)/", 1
+            ).cast("long")
+            side = self._keep_side_rows(
+                side, fences, horizon, F.coalesce(epoch, F.lit(-1))
+            )
+            side = side.dropDuplicates(["fence_key", "lsn"]).select(
+                "lsn", "batch_id", "op", "reason", "fence_key"
+            )
             out = side if out is None else out.unionByName(side)
         if out is None:
             return spark.createDataFrame([], schema=schema)
@@ -636,7 +845,13 @@ class LakeTable:
 
     def compact_tombstones(self, spark: SparkSession, lsn_watermark: int) -> None:
         """Rewrite all buckets dropping tombstones below the watermark —
-        bounds register state over unbounded replays."""
+        bounds register state over unbounded replays.
+
+        The watermark is recorded in the manifest: from this commit on,
+        merge_batch dead-letters any event with lsn below it, because the
+        safe-replay argument (re-applying an old upsert is idempotent)
+        relies on the tombstones that just got dropped. Fenced epochs are
+        unaffected — they no-op before reaching the filter."""
         m = self.manifest()
         regs = lww.compact(
             self.read_registers(spark), m.payload_cols, lsn_watermark
@@ -650,5 +865,43 @@ class LakeTable:
             committed=m.committed,
             lineage=m.lineage,
             dead_letter_files=m.dead_letter_files,
+            lsn_watermark=max(int(getattr(m, "lsn_watermark", 0) or 0), lsn_watermark),
+        )
+        self._write_manifest(new_manifest)
+
+    def rebucket(self, spark: SparkSession, n_new: int) -> None:
+        """Rewrite every register into ``n_new`` hash buckets as one
+        snapshot commit — table maintenance for data growth.
+
+        A table created small (say 16 buckets) must be able to grow before
+        100× data arrives: every epoch rewrites whole touched buckets, so
+        at scale each bucket must stay small enough that a copy-on-write
+        rewrite is cheap (≈ a few hundred MB; 100 TB wants ~4096 buckets).
+        Same shape as compact_tombstones — read all registers, write them
+        under the new bucketing, swap one manifest — so visible state is
+        bit-identical and subsequent merge_batch calls prune against the
+        new bucket count (the manifest's n_buckets is the single authority
+        for both the write layout and the read-side pruning expression).
+        Reference analogue: prefix-scoped key layout,
+        DeleteAllS3ObjectsByPrefix.kt:115-117.
+
+        Single-writer operation, like vacuum(): run it from the streaming
+        driver between epochs (it is one commit, so a crash mid-rebucket
+        leaves HEAD on the old layout and the new files as vacuum()-able
+        orphans)."""
+        if n_new < 1:
+            raise ValueError(f"n_new must be >= 1, got {n_new}")
+        m = self.manifest()
+        regs = self.read_registers(spark)
+        files = self._write_register_files(regs, n_new, tag=f"rebucket{n_new}")
+        new_manifest = Manifest(
+            version=m.version + 1,
+            payload_cols=m.payload_cols,
+            n_buckets=n_new,
+            files=files,
+            committed=m.committed,
+            lineage=m.lineage,
+            dead_letter_files=m.dead_letter_files,
+            lsn_watermark=int(getattr(m, "lsn_watermark", 0) or 0),
         )
         self._write_manifest(new_manifest)

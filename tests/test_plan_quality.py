@@ -146,6 +146,32 @@ def test_new_round2_queries_stay_jvm_side(spark):
     assert "BatchEvalPython" not in media  # never per-row pickled Python
 
 
+def test_new_round3_queries_stay_jvm_side(spark):
+    """Round-3 oracle queries keep the scale posture: XPath extraction runs
+    through Hive's JVM-side xpath UDFs (no Python), the versioned document
+    render is one aggregation, the hot-key query's salted two-phase agg is
+    still pure JVM."""
+    for q in (
+        catalog.q_xml_extract,
+        catalog.q_conv_document_v2,
+        catalog.q_cdc_hot_key,
+    ):
+        plan = _plan(q(spark, SF))
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_conv_document_v2_single_aggregation(spark):
+    """The nested-document build + both renders fold in ONE groupBy over
+    the CDC final state — version dispatch adds no extra shuffle."""
+    df = catalog.q_conv_document_v2(spark, SF)
+    plan = _plan(df)
+    # exactly two hash-partition exchanges: one for the CDC register fold,
+    # one for the per-conversation document fold
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_projection_prunes_documents_scan(spark):
     df = catalog.q_docs_token_stats(spark, SF)
     fmt = _formatted(df)
