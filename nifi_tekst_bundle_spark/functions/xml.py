@@ -102,3 +102,9 @@ def xml_escape(col: Column) -> Column:
     out = F.replace(col, F.lit("&"), F.lit("&amp;"))
     out = F.replace(out, F.lit("<"), F.lit("&lt;"))
     return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+def xml_escape_attr(col: Column) -> Column:
+    """Attribute-value escaping: element escaping plus the double quote
+    (values are emitted inside double-quoted attributes)."""
+    return F.replace(xml_escape(col), F.lit('"'), F.lit("&quot;"))

@@ -1692,13 +1692,17 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first-match text. The oracle checks the round trip against the source
 # columns directly, which is stronger than re-parsing: extraction must
 # invert construction exactly.
+# The oracle checks the round trip against the SOURCE columns — the XML
+# parser unescapes what construction escaped, so every extracted value must
+# equal the raw input (xml_escape is applied to every text node during
+# construction, and the expected values below are the raw columns; this
+# holds for arbitrary text containing &, <, >). NULL-text rows are excluded
+# on both sides (no document to build).
 XML_EXTRACT_SQL = """
 WITH built AS (
   SELECT doc_id, lang, source, text,
-    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
-      AS body,
     string_split(text, ' ') AS toks
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id,
   CAST(doc_id AS VARCHAR) AS xml_id,
@@ -1706,7 +1710,7 @@ SELECT doc_id,
   source AS xml_src,
   CAST(least(5, len(toks)) AS BIGINT) AS n_w,
   toks[1] AS first_w,
-  CAST(length(body) AS INT) AS body_len
+  CAST(length(text) AS INT) AS body_len
 FROM built
 """
 
@@ -1714,16 +1718,18 @@ FROM built
 def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import xml as xf
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.slice(F.split(F.col("text"), " "), 1, 5)
     ws = F.array_join(
-        F.transform(toks, lambda t: F.concat(F.lit("<w>"), t, F.lit("</w>"))),
+        F.transform(
+            toks, lambda t: F.concat(F.lit("<w>"), xf.xml_escape(t), F.lit("</w>"))
+        ),
         "",
     )
     xml = F.concat(
         F.lit('<doc id="'), F.col("doc_id").cast("string"),
-        F.lit('" lang="'), F.col("lang"), F.lit('">'),
-        F.lit("<src>"), F.col("source"), F.lit("</src>"),
+        F.lit('" lang="'), xf.xml_escape_attr(F.col("lang")), F.lit('">'),
+        F.lit("<src>"), xf.xml_escape(F.col("source")), F.lit("</src>"),
         F.lit("<body>"), xf.xml_escape(F.col("text")), F.lit("</body>"),
         ws, F.lit("</doc>"),
     )
@@ -1738,6 +1744,8 @@ def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         xf.xpath_first_null(x, "/m:doc/m:src").alias("xml_src"),
         xf.xpath_count(x, "/doc/w").alias("n_w"),
         xf.xpath_first_null(x, "/doc/w").alias("first_w"),
+        # the parser's string-value is the UNESCAPED text, so its length is
+        # the raw text length — matching the oracle's length(text)
         F.length(xf.xpath_first(x, "/doc/body")).alias("body_len"),
     )
 

@@ -217,12 +217,23 @@ def stop_gracefully(q, timeout_sec: float = 30.0) -> None:
     """Stop a continuous query after its in-flight trigger finishes: wait
     for the query to go idle (no new data available), then stop. Fences
     make a hard stop safe too; graceful stop just avoids wasting a
-    partially applied epoch's work."""
+    partially applied epoch's work.
+
+    A query that already DIED (its foreachBatch raised — e.g. a
+    ConcurrentCommitError from the table) must not be reported as a clean
+    stop: the caller would believe the stream drained while an unknown
+    number of epochs were never applied. Surface the stored exception."""
     import time
+
+    def _raise_if_died() -> None:
+        ex = q.exception()
+        if ex is not None:
+            raise ex
 
     deadline = time.time() + timeout_sec
     while time.time() < deadline:
         if not q.isActive:
+            _raise_if_died()
             return
         s = q.status
         if not s["isDataAvailable"] and not s["isTriggerActive"]:
@@ -230,6 +241,7 @@ def stop_gracefully(q, timeout_sec: float = 30.0) -> None:
         time.sleep(0.1)
     q.stop()
     q.awaitTermination(int(timeout_sec))
+    _raise_if_died()
 
 
 def run_to_completion(

@@ -178,6 +178,15 @@ class LakeTable:
         with open(os.path.join(self.meta_dir, f"v{v:06d}.json")) as f:
             return Manifest.from_json(f.read())
 
+    def _head_version(self) -> int:
+        """Current HEAD version; 0 when HEAD has never been swapped in
+        (a crash during create, before the first swap)."""
+        try:
+            with open(os.path.join(self.meta_dir, "HEAD")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
     def _write_manifest(self, m: Manifest) -> None:
         """Atomic snapshot commit with optimistic concurrency.
 
@@ -216,11 +225,7 @@ class LakeTable:
             #     vacuum() from the single writer, which sweeps beyond-HEAD
             #     metadata. The commit it discards never landed (HEAD is
             #     the commit point) and its epoch will be re-delivered.
-            try:
-                with open(os.path.join(self.meta_dir, "HEAD")) as f:
-                    head = int(f.read().strip())
-            except FileNotFoundError:
-                head = 0
+            head = self._head_version()
             age = _time.time() - os.path.getmtime(path)
             try:
                 with open(path) as f:
@@ -393,13 +398,23 @@ class LakeTable:
         misconfigured-second-writer case without silent lossage.
         """
         for attempt_no in range(commit_retries + 1):
+            head_before = self._head_version()
             try:
                 return self._merge_batch_once(
                     spark, events, fence_key, batch_id, epoch_id,
                     hot_key_threshold, n_salts,
                 )
             except ConcurrentCommitError:
+                # Retrying is only useful if another writer actually
+                # advanced HEAD (the retry re-resolves against the new
+                # snapshot). If HEAD is unchanged — a torn orphan inside
+                # its grace period, or a valid beyond-HEAD manifest — the
+                # retry re-derives the identical version and fails the
+                # same way; surface the error (its message names the
+                # remedy) instead of re-running the whole merge.
                 if attempt_no == commit_retries:
+                    raise
+                if self._head_version() == head_before:
                     raise
         return False  # unreachable
 
@@ -538,6 +553,11 @@ class LakeTable:
             (
                 dead.withColumn("fence_key", F.lit(fence_key))
                 .withColumn("attempt", F.lit(attempt))
+                # record the commit's epoch directly: the read path's
+                # phantom filter needs it, and parsing it back out of the
+                # fence string would silently disagree with the committed
+                # map if the fence format ever changed
+                .withColumn("epoch_id", F.lit(int(epoch_id)).cast("long"))
                 .coalesce(1)
                 .write.parquet(dl_path)
             )
@@ -770,16 +790,20 @@ class LakeTable:
             # subdirs (deletable on a failed commit), legacy rows are flat
             # files; the explicit schema null-fills the legacy attempt
             side = (
-                spark.read.schema(schema + ", attempt string")
+                spark.read.schema(schema + ", attempt string, epoch_id long")
                 .option("recursiveFileLookup", "true")
                 .parquet(self.dl_dir)
             )
             fences, horizon = self._fence_validity(spark, m)
-            epoch = F.regexp_extract(
+            # prefer the recorded epoch (authoritative — stamped from the
+            # same value the committed map records); fall back to parsing
+            # the fence string for rows written before it was stamped
+            parsed = F.regexp_extract(
                 F.col("fence_key"), r".*/e(-?\d+)/", 1
             ).cast("long")
             side = self._keep_side_rows(
-                side, fences, horizon, F.coalesce(epoch, F.lit(-1))
+                side, fences, horizon,
+                F.coalesce(F.col("epoch_id"), parsed, F.lit(-1)),
             )
             side = side.dropDuplicates(["fence_key", "lsn"]).select(
                 "lsn", "batch_id", "op", "reason", "fence_key"
@@ -800,10 +824,21 @@ class LakeTable:
         have its files deleted as unreferenced) — the single-writer
         contract is the guarantee, not the HEAD re-read. The re-read
         before the metadata sweep only narrows the window in which a
-        just-created manifest could be mistaken for an orphan."""
-        m = self.manifest()
-        referenced = {f["path"] for f in m.files}
-        for d in m.dead_letter_files:
+        just-created manifest could be mistaken for an orphan.
+
+        Tolerates a missing HEAD: a crash during ``create`` between the
+        v1 manifest write and the first HEAD swap leaves a valid-looking
+        beyond-HEAD manifest that _write_manifest refuses to overwrite and
+        directs here — vacuum() must therefore work on a table whose HEAD
+        was never swapped in (everything beyond version 0 is an orphan)."""
+        try:
+            m = self.manifest()
+        except FileNotFoundError:
+            # HEAD never swapped in: no commit has ever landed, so no data
+            # or side file is referenced and every v*.json is an orphan.
+            m = None
+        referenced = set() if m is None else {f["path"] for f in m.files}
+        for d in ([] if m is None else m.dead_letter_files):
             referenced.add(d["path"])
             # legacy dead-letter entries reference whole directories
             if os.path.isdir(d["path"]):
@@ -832,15 +867,103 @@ class LakeTable:
         # tmp files are orphans. Re-read HEAD right before the sweep so a
         # commit that landed since manifest() was snapshotted above is
         # never treated as an orphan.
-        with open(os.path.join(self.meta_dir, "HEAD")) as f:
-            head = int(f.read().strip())
+        head = self._head_version()
         for fn in os.listdir(self.meta_dir):
             p = os.path.join(self.meta_dir, fn)
             mm = re.match(r"v(\d+)\.json$", fn)
             if ".tmp-" in fn or (mm and int(mm.group(1)) > head):
                 os.remove(p)
                 removed += 1
+        if m is not None:
+            removed += self._sweep_phantom_side_files(m)
         shutil.rmtree(self.staging_dir, ignore_errors=True)
+        return removed
+
+    def _sweep_phantom_side_files(self, m: Manifest) -> int:
+        """Reclaim lineage/dead-letter files of attempts that never
+        committed after a HARD crash — kill -9 between the side-table
+        append and the manifest swap, so the eager ConcurrentCommitError
+        cleanup in _merge_batch_once never ran. The read paths already
+        filter these rows out (_keep_side_rows); without this sweep the
+        dead files accumulate forever (O(crashes) disk + scan cost, the
+        growth class the module docstring bans). Driver-side pyarrow over
+        tiny per-attempt files; the keep rule mirrors _keep_side_rows
+        exactly: committed fences keep their committed attempt (legacy
+        null-attempt entries keep all), unknown fences keep pre-attempt
+        legacy rows or rows behind the fence-window pruning horizon."""
+        import pyarrow.parquet as pq
+
+        valid: dict[str, str | None] = {
+            k: (
+                v[3]
+                if isinstance(v, list) and len(v) >= 4 and isinstance(v[3], str)
+                else None
+            )
+            for k, v in m.committed.items()
+        }
+        epochs = [
+            int(v[1])
+            for v in m.committed.values()
+            if isinstance(v, list) and len(v) >= 2 and int(v[1]) >= 0
+        ]
+        horizon = (max(epochs) - self.FENCE_WINDOW) if epochs else None
+
+        def keep_row(fence, epoch, att) -> bool:
+            if fence in valid:
+                m_att = valid[fence]
+                return m_att is None or att is None or att == m_att
+            if att is None:
+                return True  # pre-attempt legacy rows: provenance unknown
+            return (
+                horizon is not None
+                and epoch is not None
+                and 0 <= epoch < horizon
+            )
+
+        removed = 0
+        if os.path.isdir(self.lineage_dir):
+            for fn in os.listdir(self.lineage_dir):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(self.lineage_dir, fn)
+                try:
+                    rows = pq.read_table(
+                        p, columns=["fence_key", "epoch_id", "attempt"]
+                    ).to_pylist()
+                except Exception:
+                    continue  # unreadable → leave for manual inspection
+                if rows and not any(
+                    keep_row(r.get("fence_key"), r.get("epoch_id"), r.get("attempt"))
+                    for r in rows
+                ):
+                    os.remove(p)
+                    removed += 1
+        if os.path.isdir(self.dl_dir):
+            for fn in os.listdir(self.dl_dir):
+                d = os.path.join(self.dl_dir, fn)
+                if not (fn.startswith("att-") and os.path.isdir(d)):
+                    continue
+                rows, ok = [], True
+                for part in os.listdir(d):
+                    if not part.endswith(".parquet"):
+                        continue
+                    try:
+                        t = pq.read_table(os.path.join(d, part))
+                    except Exception:
+                        ok = False
+                        break
+                    cols = set(t.column_names)
+                    for r in t.select(
+                        [c for c in ("fence_key", "epoch_id", "attempt") if c in cols]
+                    ).to_pylist():
+                        fence, epoch = r.get("fence_key"), r.get("epoch_id")
+                        if epoch is None and fence:
+                            mm = re.search(r"/e(-?\d+)/", fence)
+                            epoch = int(mm.group(1)) if mm else None
+                        rows.append((fence, epoch, r.get("attempt")))
+                if ok and rows and not any(keep_row(*r) for r in rows):
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed += 1
         return removed
 
     def compact_tombstones(self, spark: SparkSession, lsn_watermark: int) -> None:

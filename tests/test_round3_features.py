@@ -183,3 +183,37 @@ def test_graceful_stop_quiesces(spark, tmp_path):
         normalize_frame(table.visible(spark).toPandas()),
         normalize_frame(ora.state), check_dtype=False,
     )
+
+
+def test_xml_extract_round_trips_hostile_text(spark, tmp_path):
+    """The construct→extract round trip must hold for text containing XML
+    metacharacters (&, <, >, double quote) and for NULL text — not just the
+    metacharacter-free fixture vocabulary. Extraction (which unescapes) must
+    invert construction (which escapes) back to the raw source columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        {"doc_id": 1, "text": 'a & b <tag> says "hi"', "lang": "x&y", "source": "s<1>"},
+        {"doc_id": 2, "text": "plain words only here", "lang": "nb", "source": "src0"},
+        {"doc_id": 3, "text": None, "lang": "nb", "source": "src1"},
+        {"doc_id": 4, "text": "&amp; already-escaped-looking", "lang": "nb", "source": "src2"},
+    ]
+    sf_dir = str(tmp_path)
+    pq.write_table(
+        pa.Table.from_pylist(rows), os.path.join(sf_dir, "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in catalog.q_xml_extract(spark, sf_dir).collect()
+    }
+    assert set(got) == {1, 2, 4}  # NULL text excluded, not null-propagated
+    r1 = got[1]
+    assert r1["xml_lang"] == "x&y"  # attribute round trip
+    assert r1["xml_src"] == "s<1>"  # element round trip
+    assert r1["first_w"] == "a"
+    assert r1["n_w"] == 5
+    assert r1["body_len"] == len('a & b <tag> says "hi"')  # unescaped length
+    r4 = got[4]
+    assert r4["first_w"] == "&amp;"  # double-escape inverts cleanly too
+    assert r4["body_len"] == len("&amp; already-escaped-looking")

@@ -138,6 +138,14 @@ def test_concurrent_commit_retries_and_leaves_no_phantom_rows(spark, tmp_path):
     def flaky(m):
         if boom["left"]:
             boom["left"] -= 1
+            # simulate losing a real race: the WINNING writer's commit
+            # landed (HEAD advanced past our base snapshot) before we
+            # raise. merge_batch only retries when HEAD moved — a loss
+            # with HEAD unchanged (torn orphan / beyond-HEAD manifest)
+            # would deterministically fail the same way again.
+            winner = table.manifest()
+            winner.version += 1
+            orig(winner)
             raise ConcurrentCommitError("injected race loser")
         return orig(m)
 
@@ -287,3 +295,156 @@ def test_partial_per_batch_fences_fall_back_to_per_batch(spark, tmp_path):
     assert (lin["fence_key"] == "run/e0/b00000").sum() == n_lineage_b0
     total = int(lin["events_applied"].sum())
     assert total == sum(len(b) for b in log.batches)
+
+
+def test_vacuum_recovers_create_crash_before_first_head_swap(spark, tmp_path):
+    """create() dying between the v1 manifest write and the first HEAD swap
+    must not brick the table: the valid-orphan refusal directs the operator
+    to vacuum(), so vacuum() has to work with NO HEAD file (everything
+    beyond version 0 is an orphan) rather than crash on the missing HEAD."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, n_buckets=4)
+    os.remove(os.path.join(t.meta_dir, "HEAD"))  # the crash window
+
+    # restart path: re-create refuses to overwrite the valid orphan
+    with pytest.raises(ConcurrentCommitError, match="vacuum"):
+        LakeTable.create(spark, root, n_buckets=4)
+
+    removed = LakeTable(root).vacuum()  # the documented remedy must work
+    assert removed >= 1
+    t2 = LakeTable.create(spark, root, n_buckets=4)
+    assert t2.manifest().version == 1
+    assert t2.merge_batch(
+        spark,
+        _events(spark, [{"lsn": 1, "conv_id": "conv-a", "text": "x"}]),
+        fence_key="r/e0/b0",
+        epoch_id=0,
+    )
+    assert t2.visible(spark).count() == 1
+
+
+def test_stop_gracefully_surfaces_dead_query_exception():
+    """A query that died from a foreachBatch exception must not be reported
+    as a clean stop — the caller would believe the stream drained."""
+
+    class DeadQuery:
+        isActive = False
+
+        def exception(self):
+            return RuntimeError("foreachBatch died: ConcurrentCommitError")
+
+    with pytest.raises(RuntimeError, match="died"):
+        runner.stop_gracefully(DeadQuery())
+
+    class CleanQuery:
+        isActive = False
+
+        def exception(self):
+            return None
+
+    runner.stop_gracefully(CleanQuery())  # genuinely clean stop: no raise
+
+
+def test_vacuum_sweeps_hard_crash_phantom_side_files(spark, tmp_path):
+    """kill -9 between the side-table append and the manifest swap leaves
+    attempt files the read paths filter forever but nothing reclaimed —
+    vacuum() must sweep them (and only them) from disk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    assert table.merge_batch(
+        spark,
+        _events(spark, [{"lsn": 1, "conv_id": "conv-a", "text": "x"}]),
+        fence_key="r/e0/b0",
+        epoch_id=0,
+    )
+    phantom_lin = table._append_lineage(
+        [
+            {
+                "fence_key": "r/e1/b1",
+                "epoch_id": 1,
+                "batch_id": "b1",
+                "partition_id": -1,
+                "events_applied": 0,
+                "upserts": 0,
+                "deletes": 0,
+                "dead_lettered": 0,
+            }
+        ],
+        attempt="deadbeefdead",
+    )
+    phantom_dl = os.path.join(table.dl_dir, "att-deadbeefdead")
+    os.makedirs(phantom_dl)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {
+                    "lsn": 99,
+                    "batch_id": "b1",
+                    "op": "insert",
+                    "reason": "r",
+                    "fence_key": "r/e1/b1",
+                    "attempt": "deadbeefdead",
+                    "epoch_id": 1,
+                }
+            ]
+        ),
+        os.path.join(phantom_dl, "part-0.parquet"),
+    )
+    assert len(os.listdir(table.lineage_dir)) == 2
+
+    table.vacuum()
+
+    assert not os.path.exists(phantom_lin)
+    assert not os.path.isdir(phantom_dl)
+    # the committed attempt's side files survive and reads are unchanged
+    assert len(os.listdir(table.lineage_dir)) == 1
+    assert table.lineage_df(spark).filter("fence_key = 'r/e0/b0'").count() > 0
+
+
+def test_futile_retry_short_circuits_when_head_unchanged(spark, tmp_path):
+    """When a commit loses without HEAD advancing (torn orphan in its grace
+    period, valid beyond-HEAD manifest), retrying re-derives the identical
+    version and fails identically — merge_batch must raise after ONE merge
+    instead of re-running validation + resolution + writes per retry."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    calls = {"n": 0}
+
+    def losing(*a, **k):
+        calls["n"] += 1
+        raise ConcurrentCommitError("loser, HEAD unchanged")
+
+    table._merge_batch_once = losing
+    with pytest.raises(ConcurrentCommitError):
+        table.merge_batch(
+            spark,
+            _events(spark, [{"lsn": 1, "conv_id": "conv-a", "text": "x"}]),
+            fence_key="r/e0/b0",
+            epoch_id=0,
+            commit_retries=5,
+        )
+    assert calls["n"] == 1
+
+
+def test_dead_letters_record_epoch_id(spark, tmp_path):
+    """Dead-letter rows stamp the commit's epoch directly (the read path's
+    phantom filter prefers it over re-parsing the fence string)."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    assert table.merge_batch(
+        spark,
+        _events(
+            spark,
+            [
+                {"lsn": 1, "conv_id": "conv-a", "text": "x"},
+                {"lsn": 2, "conv_id": "conv-b", "op": "frobnicate"},
+            ],
+        ),
+        fence_key="r/e7/b0",
+        epoch_id=7,
+    )
+    raw = spark.read.option("recursiveFileLookup", "true").parquet(table.dl_dir)
+    assert "epoch_id" in raw.columns
+    rows = raw.select("epoch_id").collect()
+    assert rows and all(r["epoch_id"] == 7 for r in rows)
+    assert table.dead_letters(spark).count() == 1
