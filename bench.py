@@ -47,6 +47,8 @@ HEADLINE = [
     "docs_minhash_pairs",
     "docs_simhash",
     "docs_nfc",
+    "docs_pii_scrub",
+    "docs_top_word_ratio",
     "xml_extract",
     "conv_document_v2",
     "media_features",

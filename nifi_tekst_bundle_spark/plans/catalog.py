@@ -1962,6 +1962,130 @@ def q_cdc_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.visible(spark)
 
 
+def q_cdc_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table maintenance under the driver oracle: the derived log applied in
+    three lsn-ordered fenced commits with REBUCKET (4→16 buckets),
+    TOMBSTONE COMPACTION (watermark between chunks) and VACUUM interleaved
+    — the final visible state must be EXACTLY the plain LWW fold
+    (maintenance must be invisible to readers). Promotes the previously
+    pytest-only maintenance surfaces (rebucket: prefix-scoped relayout,
+    DeleteAllS3ObjectsByPrefix.kt:115-117; compaction+vacuum:
+    deleteOcrWorkFiles, ReorderFiles.kt:276-298) to a driver-checked row.
+
+    Chunks are lsn ranges so the compaction watermark is always ≤ every
+    later event's lsn (compaction narrows the safe-replay contract: events
+    below the watermark dead-letter rather than resurrect compacted
+    deletes — none exist here by construction)."""
+    from ..table.lake import LakeTable
+
+    events = derive_change_events(spark, sf_dir).persist()
+    max_lsn = int(events.agg(F.max("lsn")).first()[0])
+    l1, l2 = max_lsn // 3, (2 * max_lsn) // 3
+    tmp = tempfile.mkdtemp(prefix="cdc_maint_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "table"), payload_cols=CDC_PAYLOAD, n_buckets=4
+    )
+    assert table.merge_batch(
+        spark, events.filter(F.col("lsn") <= l1),
+        fence_key="maint/e0/b00", epoch_id=0,
+    )
+    table.rebucket(spark, 16)
+    assert table.merge_batch(
+        spark, events.filter((F.col("lsn") > l1) & (F.col("lsn") <= l2)),
+        fence_key="maint/e1/b00", epoch_id=1,
+    )
+    table.compact_tombstones(spark, lsn_watermark=l2 + 1)
+    table.vacuum()
+    assert table.merge_batch(
+        spark, events.filter(F.col("lsn") > l2),
+        fence_key="maint/e2/b00", epoch_id=2,
+    )
+    events.unpersist()
+    return table.visible(spark)
+
+
+# PII scrubbing: a corpus-cleaning pass every training pipeline needs. The
+# fixture text has no PII, so both sides SEED deterministic addresses from
+# doc_id first — the op under test is that redaction (global regex replace,
+# count extraction) agrees exactly between Spark's Java regex and DuckDB's
+# RE2 on the same patterns.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+47 [0-9]{4,6}"
+
+DOCS_PII_SCRUB_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@mail.example.com tel +47 5550' || CAST(doc_id % 10 AS VARCHAR)
+      AS seeded
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(seeded, '{_PII_EMAIL}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(seeded, '{_PII_PHONE}')) AS INT) AS n_phones,
+  regexp_replace(regexp_replace(seeded, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM seeded
+"""
+
+
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com tel +47 5550"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(seeded, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(seeded, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("int").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(seeded, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>",
+        ).alias("scrubbed"),
+    )
+
+
+# Repetition signal (the Gopher/C4-style "most frequent word share" filter):
+# explode to words, two map-side-combinable aggs. Scales: the shuffle key is
+# (doc_id, word) — high cardinality, no skew; per-doc state is O(1).
+DOCS_TOP_WORD_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+wf AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM w WHERE word <> '' GROUP BY doc_id, word
+)
+SELECT doc_id,
+  CAST(max(c) AS BIGINT) AS top_word_count,
+  CAST(sum(c) AS BIGINT) AS n_words,
+  CAST(count(*) AS BIGINT) AS n_unique_words,
+  round(max(c) * 1.0 / sum(c), 6) AS top_word_ratio
+FROM wf GROUP BY doc_id
+"""
+
+
+def q_docs_top_word_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wf = words.groupBy("doc_id", "word").count()
+    return wf.groupBy("doc_id").agg(
+        F.max("count").cast("bigint").alias("top_word_count"),
+        F.sum("count").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_unique_words"),
+        F.round(F.max("count") * F.lit(1.0) / F.sum("count"), 6)
+        .alias("top_word_ratio"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2012,6 +2136,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xml_extract": q_xml_extract,
     "conv_document_v2": q_conv_document_v2,
     "cdc_hot_key": q_cdc_hot_key,
+    "cdc_maintenance_cycle": q_cdc_maintenance_cycle,
+    "docs_pii_scrub": q_docs_pii_scrub,
+    "docs_top_word_ratio": q_docs_top_word_ratio,
 }
 
 ORACLES: dict[str, str] = {
@@ -2060,4 +2187,7 @@ ORACLES: dict[str, str] = {
     "xml_extract": XML_EXTRACT_SQL,
     "conv_document_v2": CONV_DOCUMENT_V2_SQL,
     "cdc_hot_key": CDC_HOT_KEY_SQL,
+    "cdc_maintenance_cycle": CDC_FINAL_STATE_SQL,
+    "docs_pii_scrub": DOCS_PII_SCRUB_SQL,
+    "docs_top_word_ratio": DOCS_TOP_WORD_SQL,
 }
