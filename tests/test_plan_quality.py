@@ -179,3 +179,23 @@ def test_projection_prunes_documents_scan(spark):
     # only doc_id + text needed; lang/source/n_chars pruned
     assert "lang" not in read_schema
     assert "source" not in read_schema
+
+
+def test_pii_scrub_and_top_word_stay_jvm_side(spark):
+    """The corpus-cleaning queries are pure JVM: regex redaction compiles to
+    built-in string expressions (no Python UDF), and the repetition filter
+    is two hash aggregations with map-side partials — the explode's
+    (doc_id, word) shuffle key is high-cardinality, so no skew hazard."""
+    for q in (catalog.q_docs_pii_scrub, catalog.q_docs_top_word_ratio):
+        plan = _plan(q(spark, SF))
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+    plan = _plan(catalog.q_docs_top_word_ratio(spark, SF))
+    # partial_ markers: both aggs combine map-side before their exchange
+    assert plan.count("HashAggregate") >= 4 or "partial" in plan.lower()
+
+
+def test_pii_scrub_pushes_nonnull_filter_to_scan(spark):
+    fmt = _formatted(catalog.q_docs_pii_scrub(spark, SF))
+    assert "PushedFilters: [IsNotNull(text)]" in fmt or "IsNotNull(text)" in fmt
