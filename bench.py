@@ -193,10 +193,11 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
     # ADDS time, so more draws per wall-clock minute move each config's
     # min toward its quiet-window truth, which is what the N→4N ratio
     # needs (a single stolen 16-core trial deflates efficiency ~10 pts).
-    # 3 rounds × 2 runs = 6 trials/config ≈ 25 min end-to-end, cheaper
-    # than 6 rounds × 1 run (which would pay 6 warmups).
+    # 3 rounds × 3 runs = 9 trials/config: extra timed runs inside an
+    # already-warm session cost one apply each (~25 s) while extra rounds
+    # would pay a warmup per config — more draws per wall-clock minute.
     rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
-    runs_per_session = int(os.environ.get("BENCH_SCALING_RUNS", "2"))
+    runs_per_session = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
     for _ in range(rounds):
         for c in cores_list:
             spark = make_spark(c, parts=SCALING_PARTITIONS)

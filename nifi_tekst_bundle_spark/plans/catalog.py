@@ -1696,20 +1696,32 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parser unescapes what construction escaped, so every extracted value must
 # equal the raw input (xml_escape is applied to every text node during
 # construction, and the expected values below are the raw columns; this
-# holds for arbitrary text containing &, <, >). NULL-text rows are excluded
-# on both sides (no document to build).
+# holds for text containing &, <, >, or quotes). Excluded on both sides,
+# because no escaping can make the round trip hold for them:
+#   - rows where any used column is NULL (no document to build — concat
+#     would null-propagate while the oracle would still emit a row);
+#   - rows where text/lang/source contain control whitespace (\t \n \r):
+#     the XML spec normalizes line ends in content and whitespace in
+#     attribute values, so the parsed string-value differs from the raw
+#     column by design.
+# Empty string-values parse back as NULL (xpath_first_null), so the oracle
+# NULLIFs the columns that can legitimately be '' (empty first token from a
+# leading/double space, empty lang/source).
 XML_EXTRACT_SQL = """
 WITH built AS (
   SELECT doc_id, lang, source, text,
     string_split(text, ' ') AS toks
-  FROM documents WHERE text IS NOT NULL
+  FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+    AND NOT regexp_matches(text || lang || source,
+                           '[' || chr(9) || chr(10) || chr(13) || ']')
 )
 SELECT doc_id,
   CAST(doc_id AS VARCHAR) AS xml_id,
-  lang AS xml_lang,
-  source AS xml_src,
+  nullif(lang, '') AS xml_lang,
+  nullif(source, '') AS xml_src,
   CAST(least(5, len(toks)) AS BIGINT) AS n_w,
-  toks[1] AS first_w,
+  nullif(toks[1], '') AS first_w,
   CAST(length(text) AS INT) AS body_len
 FROM built
 """
@@ -1718,7 +1730,14 @@ FROM built
 def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import xml as xf
 
-    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+        & ~F.concat(F.col("text"), F.col("lang"), F.col("source")).rlike(
+            "[\t\n\r]"
+        )
+    )
     toks = F.slice(F.split(F.col("text"), " "), 1, 5)
     ws = F.array_join(
         F.transform(
@@ -1738,7 +1757,7 @@ def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         xf.xpath_first(x, "/doc/@id").alias("xml_id"),
-        xf.xpath_first(x, "/doc/@lang").alias("xml_lang"),
+        xf.xpath_first_null(x, "/doc/@lang").alias("xml_lang"),
         # namespace-prefixed path — exercises the local-name() rewrite the
         # way the reference's mets:/mix: paths exercise its NamespaceContext
         xf.xpath_first_null(x, "/m:doc/m:src").alias("xml_src"),

@@ -407,14 +407,26 @@ class LakeTable:
             except ConcurrentCommitError:
                 # Retrying is only useful if another writer actually
                 # advanced HEAD (the retry re-resolves against the new
-                # snapshot). If HEAD is unchanged — a torn orphan inside
-                # its grace period, or a valid beyond-HEAD manifest — the
-                # retry re-derives the identical version and fails the
-                # same way; surface the error (its message names the
-                # remedy) instead of re-running the whole merge.
+                # snapshot). If HEAD is unchanged the retry re-derives the
+                # identical version and fails the same way — but a LIVE
+                # race loser can observe the collision between the
+                # winner's CAS create and its HEAD swap, so poll HEAD
+                # briefly (bounded backoff) before giving up: if the
+                # winner's swap lands, retry the merge; if HEAD still
+                # hasn't moved (torn orphan inside its grace period, valid
+                # beyond-HEAD manifest), surface the error — its message
+                # names the remedy — instead of re-running a merge that
+                # would deterministically fail identically.
                 if attempt_no == commit_retries:
                     raise
-                if self._head_version() == head_before:
+                moved, delay = False, 0.1
+                for _ in range(4):
+                    if self._head_version() != head_before:
+                        moved = True
+                        break
+                    _time.sleep(delay)
+                    delay *= 2
+                if not moved and self._head_version() == head_before:
                     raise
         return False  # unreachable
 
@@ -667,6 +679,34 @@ class LakeTable:
         os.replace(tmp, final)
         return final
 
+    @staticmethod
+    def _committed_attempts(m: Manifest) -> dict[str, str | None]:
+        """fence key → attempt id that actually committed (None for
+        pre-attempt legacy entries). The SINGLE definition of how the
+        committed-map value layout is decoded — both the read-path phantom
+        filter and vacuum's side-file sweep derive from it, so the two can
+        never disagree about which attempts the manifest vouches for."""
+        return {
+            k: (
+                v[3]
+                if isinstance(v, list) and len(v) >= 4 and isinstance(v[3], str)
+                else None
+            )
+            for k, v in m.committed.items()
+        }
+
+    def _fence_horizon(self, m: Manifest) -> int | None:
+        """Epoch below which move-free fences may have been pruned from the
+        window (their side rows are assumed committed). Shared by the read
+        paths and vacuum's sweep for the same no-drift reason as
+        _committed_attempts."""
+        epochs = [
+            int(v[1])
+            for v in m.committed.values()
+            if isinstance(v, list) and len(v) >= 2 and int(v[1]) >= 0
+        ]
+        return (max(epochs) - self.FENCE_WINDOW) if epochs else None
+
     def _fence_validity(self, spark: SparkSession, m: Manifest):
         """Phantom-commit filter inputs for the side-table read paths.
 
@@ -679,15 +719,7 @@ class LakeTable:
         it are phantoms from commits that never landed (crash + re-derived
         fences) and are dropped. New-style rows are attempt-stamped; rows
         with a null attempt predate stamping and are kept as before."""
-        entries = [
-            (
-                k,
-                v[3]
-                if isinstance(v, list) and len(v) >= 4 and isinstance(v[3], str)
-                else None,
-            )
-            for k, v in m.committed.items()
-        ]
+        entries = list(self._committed_attempts(m).items())
         fences = (
             spark.createDataFrame(
                 entries, "fence_key string, _m_att string"
@@ -695,13 +727,7 @@ class LakeTable:
             if entries
             else None
         )
-        epochs = [
-            int(v[1])
-            for v in m.committed.values()
-            if isinstance(v, list) and len(v) >= 2 and int(v[1]) >= 0
-        ]
-        horizon = (max(epochs) - self.FENCE_WINDOW) if epochs else None
-        return fences, horizon
+        return fences, self._fence_horizon(m)
 
     @staticmethod
     def _keep_side_rows(df: DataFrame, fences, horizon, epoch_col: F.Column):
@@ -834,8 +860,30 @@ class LakeTable:
         try:
             m = self.manifest()
         except FileNotFoundError:
-            # HEAD never swapped in: no commit has ever landed, so no data
-            # or side file is referenced and every v*.json is an orphan.
+            # Missing HEAD is only safely interpretable as "no commit has
+            # ever landed" when the table is embryonic: a crash during
+            # create leaves AT MOST v000001.json. Any higher manifest
+            # version means commits landed and HEAD was LOST afterwards
+            # (partial restore, fs corruption) — sweeping then would treat
+            # every committed file as an orphan and destroy the table, so
+            # refuse and name the actual remedy.
+            versions = [
+                int(mm.group(1))
+                for fn in (
+                    os.listdir(self.meta_dir)
+                    if os.path.isdir(self.meta_dir)
+                    else []
+                )
+                if (mm := re.match(r"v(\d+)\.json$", fn))
+            ]
+            if versions and max(versions) > 1:
+                raise RuntimeError(
+                    "metadata/HEAD is missing but manifests up to "
+                    f"v{max(versions)} exist — HEAD was lost on a table "
+                    "with commit history. Refusing to vacuum (it would "
+                    "delete committed data). Restore HEAD to the highest "
+                    "valid manifest version instead."
+                ) from None
             m = None
         referenced = set() if m is None else {f["path"] for f in m.files}
         for d in ([] if m is None else m.dead_letter_files):
@@ -893,20 +941,8 @@ class LakeTable:
         legacy rows or rows behind the fence-window pruning horizon."""
         import pyarrow.parquet as pq
 
-        valid: dict[str, str | None] = {
-            k: (
-                v[3]
-                if isinstance(v, list) and len(v) >= 4 and isinstance(v[3], str)
-                else None
-            )
-            for k, v in m.committed.items()
-        }
-        epochs = [
-            int(v[1])
-            for v in m.committed.values()
-            if isinstance(v, list) and len(v) >= 2 and int(v[1]) >= 0
-        ]
-        horizon = (max(epochs) - self.FENCE_WINDOW) if epochs else None
+        valid = self._committed_attempts(m)
+        horizon = self._fence_horizon(m)
 
         def keep_row(fence, epoch, att) -> bool:
             if fence in valid:
@@ -958,8 +994,12 @@ class LakeTable:
                     ).to_pylist():
                         fence, epoch = r.get("fence_key"), r.get("epoch_id")
                         if epoch is None and fence:
-                            mm = re.search(r"/e(-?\d+)/", fence)
-                            epoch = int(mm.group(1)) if mm else None
+                            # LAST /e<n>/ segment, matching the read path's
+                            # greedy regexp_extract('.*/e(-?\d+)/') — a
+                            # run_id that itself contains /e<n>/ must parse
+                            # the same here and in dead_letters()
+                            ms = re.findall(r"/e(-?\d+)(?=/)", fence)
+                            epoch = int(ms[-1]) if ms else None
                         rows.append((fence, epoch, r.get("attempt")))
                 if ok and rows and not any(keep_row(*r) for r in rows):
                     shutil.rmtree(d, ignore_errors=True)

@@ -198,6 +198,15 @@ def test_xml_extract_round_trips_hostile_text(spark, tmp_path):
         {"doc_id": 2, "text": "plain words only here", "lang": "nb", "source": "src0"},
         {"doc_id": 3, "text": None, "lang": "nb", "source": "src1"},
         {"doc_id": 4, "text": "&amp; already-escaped-looking", "lang": "nb", "source": "src2"},
+        # NULL lang: excluded (concat would null-propagate while the oracle
+        # would still emit the row)
+        {"doc_id": 5, "text": "has text", "lang": None, "source": "src3"},
+        # leading space -> empty first token: parses back as NULL, oracle
+        # NULLIFs to agree
+        {"doc_id": 6, "text": " x y", "lang": "nb", "source": "src4"},
+        # carriage return: XML line-end normalization breaks the round trip
+        # by spec, so both sides exclude the row
+        {"doc_id": 7, "text": "a\r\nb", "lang": "nb", "source": "src5"},
     ]
     sf_dir = str(tmp_path)
     pq.write_table(
@@ -207,7 +216,7 @@ def test_xml_extract_round_trips_hostile_text(spark, tmp_path):
         r["doc_id"]: r
         for r in catalog.q_xml_extract(spark, sf_dir).collect()
     }
-    assert set(got) == {1, 2, 4}  # NULL text excluded, not null-propagated
+    assert set(got) == {1, 2, 4, 6}
     r1 = got[1]
     assert r1["xml_lang"] == "x&y"  # attribute round trip
     assert r1["xml_src"] == "s<1>"  # element round trip
@@ -217,3 +226,7 @@ def test_xml_extract_round_trips_hostile_text(spark, tmp_path):
     r4 = got[4]
     assert r4["first_w"] == "&amp;"  # double-escape inverts cleanly too
     assert r4["body_len"] == len("&amp; already-escaped-looking")
+    r6 = got[6]
+    assert r6["first_w"] is None
+    assert r6["n_w"] == 3
+    assert r6["body_len"] == len(" x y")

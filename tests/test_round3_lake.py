@@ -448,3 +448,57 @@ def test_dead_letters_record_epoch_id(spark, tmp_path):
     rows = raw.select("epoch_id").collect()
     assert rows and all(r["epoch_id"] == 7 for r in rows)
     assert table.dead_letters(spark).count() == 1
+
+
+def test_vacuum_refuses_when_head_lost_with_commit_history(spark, tmp_path):
+    """Missing HEAD on a table whose manifests go beyond v1 means HEAD was
+    LOST (restore/corruption), not a create crash — vacuum must refuse
+    instead of treating every committed file as an orphan."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    assert table.merge_batch(
+        spark,
+        _events(spark, [{"lsn": 1, "conv_id": "conv-a", "text": "x"}]),
+        fence_key="r/e0/b0",
+        epoch_id=0,
+    )
+    os.remove(os.path.join(table.meta_dir, "HEAD"))
+    with pytest.raises(RuntimeError, match="commit history"):
+        LakeTable(str(tmp_path / "t")).vacuum()
+    # the data is still on disk: restoring HEAD recovers the table
+    with open(os.path.join(table.meta_dir, "HEAD"), "w") as f:
+        f.write("2")
+    assert LakeTable(str(tmp_path / "t")).visible(spark).count() == 1
+
+
+def test_retry_absorbs_winner_mid_swap(spark, tmp_path):
+    """A live race loser can observe the collision BETWEEN the winner's CAS
+    create and its HEAD swap. The retry loop polls HEAD briefly before
+    giving up, so a winner landing milliseconds later is absorbed."""
+    import threading
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    orig = table._write_manifest
+    boom = {"left": 1}
+
+    def flaky(m):
+        if boom["left"]:
+            boom["left"] -= 1
+
+            def winner_swap():
+                _time_mod.sleep(0.4)  # inside the loser's poll window
+                w = table.manifest()
+                w.version += 1
+                orig(w)
+
+            threading.Thread(target=winner_swap, daemon=True).start()
+            raise ConcurrentCommitError("lost CAS, winner swap in flight")
+        return orig(m)
+
+    table._write_manifest = flaky
+    assert table.merge_batch(
+        spark,
+        _events(spark, [{"lsn": 1, "conv_id": "conv-a", "text": "x"}]),
+        fence_key="r/e0/b0",
+        epoch_id=0,
+    )
+    assert table.visible(spark).count() == 1
