@@ -2023,6 +2023,62 @@ def q_cdc_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.visible(spark)
 
 
+def q_cdc_continuous_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same oracle as cdc_lww_final_state through the PRODUCTION deployment
+    shape: a long-running ProcessingTime stream over a binlog directory
+    that GROWS while the stream runs (segments appended live), then a
+    graceful stop — the reference's continuously scheduled processor
+    (ReorderFiles.kt:330 onTrigger + the NiFi timer driving it).
+    Complements cdc_streaming_final_state, which proves the AvailableNow
+    drain-and-stop mode over a static directory."""
+    import shutil
+    import time as _t
+
+    from ..fixtures import write_binlog_segments
+    from ..streaming import runner
+    from ..table.lake import LakeTable
+
+    events = derive_change_events(spark, sf_dir).persist()
+    tmp = tempfile.mkdtemp(prefix="cdc_cont_")
+    stage = os.path.join(tmp, "stage")
+    seg_paths = write_binlog_segments(events, stage)
+    events.unpersist()
+    live = os.path.join(tmp, "events")
+    os.makedirs(live)
+    half = max(1, len(seg_paths) // 2)
+    for p in seg_paths[:half]:
+        shutil.copy(p, os.path.join(live, os.path.basename(p)))
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "table"), payload_cols=CDC_PAYLOAD, n_buckets=8
+    )
+    q, stats = runner.start_continuous(
+        spark, live, table, os.path.join(tmp, "ckpt"), run_id="cont",
+        processing_time="200 milliseconds", max_files_per_trigger=2,
+    )
+
+    def _wait(pred, what: str, timeout: float = 180.0) -> None:
+        deadline = _t.time() + timeout
+        while _t.time() < deadline:
+            if pred():
+                return
+            _t.sleep(0.25)
+        raise AssertionError(f"continuous stream: timed out on {what}")
+
+    try:
+        _wait(lambda: stats.batches_applied >= half, "initial segments")
+        # live append: the stream must pick these up on later triggers
+        for p in seg_paths[half:]:
+            shutil.copy(p, os.path.join(live, os.path.basename(p)))
+        _wait(
+            lambda: stats.batches_applied >= len(seg_paths),
+            "live-appended segments",
+        )
+    finally:
+        runner.stop_gracefully(q, timeout_sec=60.0)
+    return table.visible(spark)
+
+
 # PII scrubbing: a corpus-cleaning pass every training pipeline needs. The
 # fixture text has no PII, so both sides SEED deterministic addresses from
 # doc_id first — the op under test is that redaction (global regex replace,
@@ -2156,6 +2212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_document_v2": q_conv_document_v2,
     "cdc_hot_key": q_cdc_hot_key,
     "cdc_maintenance_cycle": q_cdc_maintenance_cycle,
+    "cdc_continuous_final_state": q_cdc_continuous_final_state,
     "docs_pii_scrub": q_docs_pii_scrub,
     "docs_top_word_ratio": q_docs_top_word_ratio,
 }
@@ -2207,6 +2264,7 @@ ORACLES: dict[str, str] = {
     "conv_document_v2": CONV_DOCUMENT_V2_SQL,
     "cdc_hot_key": CDC_HOT_KEY_SQL,
     "cdc_maintenance_cycle": CDC_FINAL_STATE_SQL,
+    "cdc_continuous_final_state": CDC_FINAL_STATE_SQL,
     "docs_pii_scrub": DOCS_PII_SCRUB_SQL,
     "docs_top_word_ratio": DOCS_TOP_WORD_SQL,
 }
