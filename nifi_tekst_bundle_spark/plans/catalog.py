@@ -2045,9 +2045,19 @@ def q_cdc_continuous_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.unpersist()
     live = os.path.join(tmp, "events")
     os.makedirs(live)
+
+    def _atomic_copy(src: str) -> None:
+        # the stream is LIVE while we append: copy to a dot-prefixed name
+        # (invisible to Spark's file listing) and rename into place so a
+        # trigger can never read a torn, footer-less parquet file
+        dst = os.path.join(live, os.path.basename(src))
+        tmp_name = os.path.join(live, "." + os.path.basename(src) + ".tmp")
+        shutil.copy(src, tmp_name)
+        os.rename(tmp_name, dst)
+
     half = max(1, len(seg_paths) // 2)
     for p in seg_paths[:half]:
-        shutil.copy(p, os.path.join(live, os.path.basename(p)))
+        _atomic_copy(p)
 
     table = LakeTable.create(
         spark, os.path.join(tmp, "table"), payload_cols=CDC_PAYLOAD, n_buckets=8
@@ -2069,7 +2079,7 @@ def q_cdc_continuous_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         _wait(lambda: stats.batches_applied >= half, "initial segments")
         # live append: the stream must pick these up on later triggers
         for p in seg_paths[half:]:
-            shutil.copy(p, os.path.join(live, os.path.basename(p)))
+            _atomic_copy(p)
         _wait(
             lambda: stats.batches_applied >= len(seg_paths),
             "live-appended segments",

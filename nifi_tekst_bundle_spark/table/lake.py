@@ -839,7 +839,7 @@ class LakeTable:
             return spark.createDataFrame([], schema=schema)
         return out
 
-    def vacuum(self) -> int:
+    def vacuum(self, force_headless: bool = False) -> int:
         """Delete files not referenced by HEAD (orphans from crashed
         commits) and leftover staging dirs — the deleteOcrWorkFiles
         analogue (ReorderFiles.kt:276-298).
@@ -860,13 +860,28 @@ class LakeTable:
         try:
             m = self.manifest()
         except FileNotFoundError:
-            # Missing HEAD is only safely interpretable as "no commit has
-            # ever landed" when the table is embryonic: a crash during
-            # create leaves AT MOST v000001.json. Any higher manifest
-            # version means commits landed and HEAD was LOST afterwards
-            # (partial restore, fs corruption) — sweeping then would treat
-            # every committed file as an orphan and destroy the table, so
-            # refuse and name the actual remedy.
+            # manifest() can fail two ways and only one is ever sweepable:
+            #   - HEAD exists but the manifest it references is missing or
+            #     unreadable: commit history is PROVEN (HEAD is only ever
+            #     written by a successful swap) — refuse, the remedy is
+            #     restoring the manifest/HEAD, never deletion;
+            #   - HEAD itself is missing: safely interpretable as "no
+            #     commit ever landed" only for an embryonic table. A crash
+            #     during create leaves AT MOST v000001.json; any higher
+            #     version means commits landed and HEAD was LOST (partial
+            #     restore, fs corruption) — refuse. And a VALID v1 with no
+            #     HEAD is inherently ambiguous (crashed create vs completed
+            #     create whose HEAD was lost), so sweeping it requires the
+            #     explicit ``force_headless`` confirmation.
+            head = self._head_version()
+            if head > 0:
+                raise RuntimeError(
+                    f"metadata/HEAD points at v{head} but that manifest is "
+                    "missing or unreadable — refusing to vacuum a table "
+                    "with proven commit history. Restore the manifest "
+                    "file (or point HEAD at the highest valid version) "
+                    "instead."
+                ) from None
             versions = [
                 int(mm.group(1))
                 for fn in (
@@ -884,6 +899,23 @@ class LakeTable:
                     "delete committed data). Restore HEAD to the highest "
                     "valid manifest version instead."
                 ) from None
+            if versions and not force_headless:
+                v1 = os.path.join(self.meta_dir, f"v{versions[0]:06d}.json")
+                try:
+                    with open(v1) as f:
+                        Manifest.from_json(f.read())
+                    valid = True
+                except Exception:
+                    valid = False
+                if valid:
+                    raise RuntimeError(
+                        "metadata/HEAD is missing and v000001.json parses "
+                        "as a valid manifest — a crashed create and a "
+                        "completed create whose HEAD was lost are "
+                        "indistinguishable on disk. If this is a crashed "
+                        "create, re-run vacuum(force_headless=True); "
+                        "otherwise restore HEAD to 1."
+                    ) from None
             m = None
         referenced = set() if m is None else {f["path"] for f in m.files}
         for d in ([] if m is None else m.dead_letter_files):

@@ -114,8 +114,17 @@ def test_processing_time_live_appends_crash_resume(spark, tmp_path):
     files = fixtures.write_event_log_parquet(log, stage)
     events_dir = str(tmp_path / "events")
     os.makedirs(events_dir)
+
+    def atomic_copy(src):
+        # the stream lists this dir while we append: stage under a
+        # dot-prefixed name (invisible to Spark) + rename, so a trigger
+        # can never read a torn parquet file
+        tmp_name = os.path.join(events_dir, "." + os.path.basename(src) + ".tmp")
+        shutil.copy(src, tmp_name)
+        os.rename(tmp_name, os.path.join(events_dir, os.path.basename(src)))
+
     for f in files[:2]:
-        shutil.copy(f, os.path.join(events_dir, os.path.basename(f)))
+        atomic_copy(f)
 
     table = LakeTable.create(
         spark, str(tmp_path / "t"), seed_df=spark_seed(spark, seed), n_buckets=4
@@ -129,11 +138,11 @@ def test_processing_time_live_appends_crash_resume(spark, tmp_path):
         _wait(lambda: stats.batches_applied >= 2, what="first 2 segments applied")
         # live append while the stream keeps triggering
         for f in files[2:4]:
-            shutil.copy(f, os.path.join(events_dir, os.path.basename(f)))
+            atomic_copy(f)
         _wait(lambda: stats.batches_applied >= 4, what="live-appended segments")
         # append two more, then kill abruptly — no graceful drain
         for f in files[4:]:
-            shutil.copy(f, os.path.join(events_dir, os.path.basename(f)))
+            atomic_copy(f)
     finally:
         q.stop()
         q.awaitTermination(30)

@@ -310,7 +310,12 @@ def test_vacuum_recovers_create_crash_before_first_head_swap(spark, tmp_path):
     with pytest.raises(ConcurrentCommitError, match="vacuum"):
         LakeTable.create(spark, root, n_buckets=4)
 
-    removed = LakeTable(root).vacuum()  # the documented remedy must work
+    # a VALID v1 with no HEAD is ambiguous (crashed create vs completed
+    # create whose HEAD was lost) — plain vacuum refuses, the explicit
+    # confirmation sweeps
+    with pytest.raises(RuntimeError, match="force_headless"):
+        LakeTable(root).vacuum()
+    removed = LakeTable(root).vacuum(force_headless=True)
     assert removed >= 1
     t2 = LakeTable.create(spark, root, n_buckets=4)
     assert t2.manifest().version == 1
