@@ -193,18 +193,16 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
     # ADDS time, so more draws per wall-clock minute move each config's
     # min toward its quiet-window truth, which is what the N→4N ratio
     # needs (a single stolen 16-core trial deflates efficiency ~10 pts).
-    # 3 rounds × 3 runs = 9 trials/config: extra timed runs inside an
+    # 3 rounds × 4 runs = 12 trials/config: extra timed runs inside an
     # already-warm session cost one apply each (~25 s) while extra rounds
     # would pay a warmup per config — more draws per wall-clock minute.
+    # Draw counts are SYMMETRIC across configs on purpose: E[min] falls
+    # with draw count under one-sided (steal) noise, so giving only the
+    # noisier high-core side extra draws would bias the N→4N ratio
+    # upward relative to a symmetric protocol. Variance reduction comes
+    # from raising RUNS for every config equally.
     rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
-    runs_per_session = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
-    # The HIGH side of each pair gets extra timed draws: a 16/32-thread
-    # window needs 4× more simultaneously free cores than its N-side, so
-    # its min converges slower under host steal. Steal only ever ADDS
-    # time, so unequal draw counts cannot bias a config's min away from
-    # its quiet-window floor — this is variance reduction on the noisier
-    # estimate, applied symmetrically to every pair's hi side.
-    hi_sides = {hi for _lo, hi in pairs}
+    runs_per_session = int(os.environ.get("BENCH_SCALING_RUNS", "4"))
     for _ in range(rounds):
         for c in cores_list:
             spark = make_spark(c, parts=SCALING_PARTITIONS)
@@ -215,8 +213,7 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
                 # JIT + codegen + parquet-footer + page-cache costs that
                 # have nothing to do with core-count scaling
                 apply_from_disk(spark, ev_dir)
-                n_runs = runs_per_session + (2 if c in hi_sides else 0)
-                for _r in range(n_runs):
+                for _r in range(runs_per_session):
                     times[c].append(apply_from_disk(spark, ev_dir))
             finally:
                 spark.stop()

@@ -302,6 +302,36 @@ def write_binlog_segments(events_df, out_dir: str) -> list[str]:
     return paths
 
 
+def atomic_append_segment(src: str, live_dir: str) -> str:
+    """Append a binlog segment to a directory a stream is LIVE-listing:
+    copy to a dot-prefixed name (invisible to Spark's file listing) and
+    rename into place, so a trigger can never observe a torn, footer-less
+    parquet file. The single shared implementation of this idiom — the
+    continuous catalog query and the ProcessingTime tests must exercise
+    the same append mechanics."""
+    import os
+    import shutil
+
+    dst = os.path.join(live_dir, os.path.basename(src))
+    tmp_name = os.path.join(live_dir, "." + os.path.basename(src) + ".tmp")
+    shutil.copy(src, tmp_name)
+    os.rename(tmp_name, dst)
+    return dst
+
+
+def wait_until(pred, what: str, timeout: float = 180.0, poll: float = 0.25) -> None:
+    """Poll ``pred`` until true or raise — for waiting on a live stream's
+    progress counters."""
+    import time as _t
+
+    deadline = _t.time() + timeout
+    while _t.time() < deadline:
+        if pred():
+            return
+        _t.sleep(poll)
+    raise AssertionError(f"timed out waiting for {what}")
+
+
 def write_event_log_parquet(log: GeneratedLog, out_dir: str) -> list[str]:
     """One parquet file per batch, lexicographically ordered filenames —
     the streaming file source consumes them in batch order."""

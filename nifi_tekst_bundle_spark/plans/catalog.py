@@ -2031,10 +2031,7 @@ def q_cdc_continuous_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ReorderFiles.kt:330 onTrigger + the NiFi timer driving it).
     Complements cdc_streaming_final_state, which proves the AvailableNow
     drain-and-stop mode over a static directory."""
-    import shutil
-    import time as _t
-
-    from ..fixtures import write_binlog_segments
+    from ..fixtures import atomic_append_segment, wait_until, write_binlog_segments
     from ..streaming import runner
     from ..table.lake import LakeTable
 
@@ -2046,18 +2043,9 @@ def q_cdc_continuous_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = os.path.join(tmp, "events")
     os.makedirs(live)
 
-    def _atomic_copy(src: str) -> None:
-        # the stream is LIVE while we append: copy to a dot-prefixed name
-        # (invisible to Spark's file listing) and rename into place so a
-        # trigger can never read a torn, footer-less parquet file
-        dst = os.path.join(live, os.path.basename(src))
-        tmp_name = os.path.join(live, "." + os.path.basename(src) + ".tmp")
-        shutil.copy(src, tmp_name)
-        os.rename(tmp_name, dst)
-
     half = max(1, len(seg_paths) // 2)
     for p in seg_paths[:half]:
-        _atomic_copy(p)
+        atomic_append_segment(p, live)
 
     table = LakeTable.create(
         spark, os.path.join(tmp, "table"), payload_cols=CDC_PAYLOAD, n_buckets=8
@@ -2067,20 +2055,12 @@ def q_cdc_continuous_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         processing_time="200 milliseconds", max_files_per_trigger=2,
     )
 
-    def _wait(pred, what: str, timeout: float = 180.0) -> None:
-        deadline = _t.time() + timeout
-        while _t.time() < deadline:
-            if pred():
-                return
-            _t.sleep(0.25)
-        raise AssertionError(f"continuous stream: timed out on {what}")
-
     try:
-        _wait(lambda: stats.batches_applied >= half, "initial segments")
+        wait_until(lambda: stats.batches_applied >= half, "initial segments")
         # live append: the stream must pick these up on later triggers
         for p in seg_paths[half:]:
-            _atomic_copy(p)
-        _wait(
+            atomic_append_segment(p, live)
+        wait_until(
             lambda: stats.batches_applied >= len(seg_paths),
             "live-appended segments",
         )

@@ -235,6 +235,10 @@ class LakeTable:
                 torn = True
             if head >= m.version or not torn or age < self.ORPHAN_GRACE_SECONDS:
                 os.remove(tmp)
+                # a crashed create leaves no HEAD; plain vacuum() refuses
+                # that ambiguous state, so the remedy differs (lake
+                # vacuum docstring, "Tolerates a missing HEAD")
+                remedy = "vacuum(force_headless=True)" if head == 0 else "vacuum()"
                 if head >= m.version:
                     msg = f"snapshot v{m.version} already committed by another writer"
                 elif not torn:
@@ -243,14 +247,14 @@ class LakeTable:
                         "manifest while HEAD is behind — a crashed writer died "
                         "between its content write and HEAD swap, or a second "
                         "writer is mid-commit. Refusing to overwrite; run "
-                        "vacuum() from the single writer to reclaim it."
+                        f"{remedy} from the single writer to reclaim it."
                     )
                 else:
                     msg = (
                         f"snapshot v{m.version} exists (torn) and is only "
                         f"{age:.1f}s old — possible in-flight writer between "
                         "its CAS create and content write; retry after the "
-                        "grace period or vacuum() from the single writer"
+                        f"grace period or {remedy} from the single writer"
                     )
                 raise ConcurrentCommitError(msg) from None
         os.replace(tmp, path)
@@ -859,12 +863,14 @@ class LakeTable:
         was never swapped in (everything beyond version 0 is an orphan)."""
         try:
             m = self.manifest()
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError, KeyError, TypeError):
             # manifest() can fail two ways and only one is ever sweepable:
-            #   - HEAD exists but the manifest it references is missing or
-            #     unreadable: commit history is PROVEN (HEAD is only ever
-            #     written by a successful swap) — refuse, the remedy is
-            #     restoring the manifest/HEAD, never deletion;
+            #   - HEAD exists but the manifest it references is missing,
+            #     truncated, or unparseable (ValueError covers torn HEAD
+            #     ints and JSONDecodeError; KeyError/TypeError cover
+            #     field-level corruption): commit history is PROVEN (HEAD
+            #     is only ever written by a successful swap) — refuse, the
+            #     remedy is restoring the manifest/HEAD, never deletion;
             #   - HEAD itself is missing: safely interpretable as "no
             #     commit ever landed" only for an embryonic table. A crash
             #     during create leaves AT MOST v000001.json; any higher
@@ -873,14 +879,17 @@ class LakeTable:
             #     HEAD is inherently ambiguous (crashed create vs completed
             #     create whose HEAD was lost), so sweeping it requires the
             #     explicit ``force_headless`` confirmation.
-            head = self._head_version()
-            if head > 0:
+            if os.path.exists(os.path.join(self.meta_dir, "HEAD")):
+                try:
+                    head_desc = f"points at v{self._head_version()}"
+                except ValueError:
+                    head_desc = "exists but is unreadable"
                 raise RuntimeError(
-                    f"metadata/HEAD points at v{head} but that manifest is "
-                    "missing or unreadable — refusing to vacuum a table "
-                    "with proven commit history. Restore the manifest "
-                    "file (or point HEAD at the highest valid version) "
-                    "instead."
+                    f"metadata/HEAD {head_desc} but a valid committed "
+                    "manifest could not be loaded — refusing to vacuum a "
+                    "table with proven commit history. Restore the "
+                    "manifest file (or point HEAD at the highest valid "
+                    "version) instead."
                 ) from None
             versions = [
                 int(mm.group(1))

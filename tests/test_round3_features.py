@@ -4,8 +4,6 @@ path through the catalog query, XPath helpers, versioned document render."""
 from __future__ import annotations
 
 import os
-import shutil
-import time
 
 import pandas as pd
 import pytest
@@ -93,12 +91,7 @@ def test_conv_document_v2_dispatches_both_versions(spark):
 
 
 def _wait(pred, timeout=120.0, what="condition"):
-    deadline = time.time() + timeout
-    while time.time() < deadline:
-        if pred():
-            return
-        time.sleep(0.25)
-    raise AssertionError(f"timed out waiting for {what}")
+    fixtures.wait_until(pred, what, timeout=timeout)
 
 
 def test_processing_time_live_appends_crash_resume(spark, tmp_path):
@@ -116,12 +109,9 @@ def test_processing_time_live_appends_crash_resume(spark, tmp_path):
     os.makedirs(events_dir)
 
     def atomic_copy(src):
-        # the stream lists this dir while we append: stage under a
-        # dot-prefixed name (invisible to Spark) + rename, so a trigger
-        # can never read a torn parquet file
-        tmp_name = os.path.join(events_dir, "." + os.path.basename(src) + ".tmp")
-        shutil.copy(src, tmp_name)
-        os.rename(tmp_name, os.path.join(events_dir, os.path.basename(src)))
+        # same torn-read-safe append mechanics the continuous catalog
+        # query uses in production shape
+        fixtures.atomic_append_segment(src, events_dir)
 
     for f in files[:2]:
         atomic_copy(f)

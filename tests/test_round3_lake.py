@@ -475,6 +475,37 @@ def test_vacuum_refuses_when_head_lost_with_commit_history(spark, tmp_path):
     assert LakeTable(str(tmp_path / "t")).visible(spark).count() == 1
 
 
+def test_vacuum_refuses_corrupt_manifest_with_head(spark, tmp_path):
+    """HEAD present but its manifest file truncated (partial restore) is
+    proven commit history just like a missing manifest — vacuum must raise
+    the documented refusal, not leak a JSON parse error, and must not
+    delete anything. A torn HEAD (non-integer content) gets the same
+    refusal."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    assert table.merge_batch(
+        spark,
+        _events(spark, [{"lsn": 1, "conv_id": "conv-a", "text": "x"}]),
+        fence_key="r/e0/b0",
+        epoch_id=0,
+    )
+    head = table._head_version()
+    mpath = os.path.join(table.meta_dir, f"v{head:06d}.json")
+    good = open(mpath).read()
+    with open(mpath, "w") as f:
+        f.write(good[: len(good) // 2])  # truncated mid-JSON
+    with pytest.raises(RuntimeError, match="commit history"):
+        LakeTable(str(tmp_path / "t")).vacuum()
+    with open(mpath, "w") as f:
+        f.write(good)  # restore → table fully recovers
+    assert LakeTable(str(tmp_path / "t")).visible(spark).count() == 1
+
+    # torn HEAD content
+    with open(os.path.join(table.meta_dir, "HEAD"), "w") as f:
+        f.write("garbage")
+    with pytest.raises(RuntimeError, match="commit history"):
+        LakeTable(str(tmp_path / "t")).vacuum()
+
+
 def test_retry_absorbs_winner_mid_swap(spark, tmp_path):
     """A live race loser can observe the collision BETWEEN the winner's CAS
     create and its HEAD swap. The retry loop polls HEAD briefly before
