@@ -1121,8 +1121,13 @@ def _shingle_concat_sql(k: int) -> str:
 
 
 def _minhash_sql(n_hashes: int = 4, k: int = 3) -> str:
+    # Mirrors dedup.minhash_signature: md5 base hash once per shingle
+    # (reduced mod P), then per-index Carter-Wegman mixes (a_i*x + b_i) % P
+    # with the exact constants from dedup.mh_consts.
     mh = ",\n  ".join(
-        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5('mh{i}|' || s), 1, 15))::INT64)) AS minhash_{i}"
+        "list_min(list_transform(hs, x -> (x * {a} + {b}) % {p})) AS minhash_{i}".format(
+            a=dedup.mh_consts(i)[0], b=dedup.mh_consts(i)[1], p=dedup.MH_P, i=i
+        )
         for i in range(n_hashes)
     )
     return rf"""
@@ -1137,8 +1142,14 @@ sh AS (
                              i -> {_shingle_concat_sql(k)})
          ELSE [array_to_string(words, ' ')] END AS shingles
   FROM base
+),
+hb AS (
+  SELECT doc_id,
+    list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 15))::INT64 % {dedup.MH_P}) AS hs
+  FROM sh
 )
-SELECT doc_id, {mh} FROM sh
+SELECT doc_id, {mh} FROM hb
 """
 
 
@@ -1197,7 +1208,9 @@ def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_pairs_sql(n_hashes: int = 4, n_bands: int = 2, k: int = 3,
                        threshold: float = 0.5) -> str:
     mh = ",\n    ".join(
-        f"list_min(list_transform(shingles, s -> ('0x' || substr(md5('mh{i}|' || s), 1, 15))::INT64)) AS m{i}"
+        "list_min(list_transform(hs, x -> (x * {a} + {b}) % {p})) AS m{i}".format(
+            a=dedup.mh_consts(i)[0], b=dedup.mh_consts(i)[1], p=dedup.MH_P, i=i
+        )
         for i in range(n_hashes)
     )
     rows = n_hashes // n_bands
@@ -1223,7 +1236,13 @@ sh AS (
          ELSE [array_to_string(words, ' ')] END AS shingles
   FROM base
 ),
-sig AS (SELECT doc_id, shingles, {mh} FROM sh),
+hb AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 15))::INT64 % {dedup.MH_P}) AS hs
+  FROM sh
+),
+sig AS (SELECT doc_id, shingles, {mh} FROM hb),
 bands AS (
   {bands}
 ),
