@@ -2171,6 +2171,270 @@ def q_docs_top_word_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round-3 additions: CDC wire format, temporal operators, corpus sampling
+# --------------------------------------------------------------------------
+
+
+def q_cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope ingest: the derived change log is serialized to
+    Debezium JSON envelopes (op c/u/d, before/after row images,
+    source.lsn — the binlog/WAL wire format real CDC connectors emit),
+    parsed back through ``sources.debezium.parse_debezium`` (one JVM-side
+    ``from_json``, no Python, no shuffle added), then folded through the
+    same validate → LWW register pipeline as the native path. The oracle
+    is CDC_FINAL_STATE_SQL verbatim — proving the envelope adapter is
+    lossless end-to-end, the reference's FlowFile-JSON parse seam
+    (ReorderFiles.kt:359-366) re-expressed for the Debezium ecosystem."""
+    from ..sources import debezium
+
+    events = derive_change_events(spark, sf_dir)
+    parsed = debezium.parse_debezium(debezium.to_debezium(events))
+    good, _dead = resolve.validate(parsed, [])
+    normalized = good.select(
+        "lsn", "batch_id", "op", "conv_id", "turn_idx", *CDC_PAYLOAD
+    )
+    regs = lww.batch_registers(normalized, CDC_PAYLOAD)
+    return lww.visible(regs, CDC_PAYLOAD)
+
+
+# Gap sessionization over the raw events stream. Both engines compute the
+# boundary flag from the SAME double subtraction (epoch seconds), so the
+# strict > comparison agrees even at an exact-1800s gap.
+SESSIONIZE_SQL = """
+WITH t AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) / 1000000.0
+                 - epoch_us(lag(ts) OVER w) / 1000000.0 > 1800.0
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_idx
+  FROM t
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(min(epoch_us(ts) / 1000000.0), 6) AS session_start_s,
+  round(max(epoch_us(ts) / 1000000.0), 6) AS session_end_s,
+  round(max(epoch_us(ts) / 1000000.0) - min(epoch_us(ts) / 1000000.0), 6)
+    AS duration_s
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import temporal
+
+    ev = _read(spark, sf_dir, "events")
+    sess = temporal.sessionize(ev, key="user_id", ts_col="ts", gap_minutes=30)
+    return sess.select(
+        "user_id",
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(
+            F.col("session_start").cast("timestamp_ltz").cast("double"), 6
+        ).alias("session_start_s"),
+        F.round(
+            F.col("session_end").cast("timestamp_ltz").cast("double"), 6
+        ).alias("session_end_s"),
+        "duration_s",
+    )
+
+
+# As-of join: each click event picks up the most recent signup "profile
+# value" for its user at or before the click. The oracle mirrors the
+# engine's union+window formulation in ANSI SQL (DuckDB's native ASOF JOIN
+# would also work; the union form keeps tie semantics explicit).
+ASOF_SQL = """
+WITH r AS (
+  SELECT user_id, ts, round(max(value), 2) AS pv
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+),
+l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+u AS (
+  SELECT event_id, user_id, ts, 1 AS side, NULL::DOUBLE AS pv FROM l
+  UNION ALL
+  SELECT NULL::BIGINT, user_id, ts, 0, pv FROM r
+),
+c AS (
+  SELECT event_id, side,
+    last_value(pv IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS profile_value_asof
+  FROM u
+)
+SELECT l.event_id, l.user_id, c.profile_value_asof
+FROM c JOIN l USING (event_id) WHERE c.side = 1
+"""
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import temporal
+
+    ev = _read(spark, sf_dir, "events")
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("profile_value"))
+    )
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = temporal.asof_join(
+        left, right, on=["user_id"], value_cols=["profile_value"]
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.col("profile_value_asof").alias("profile_value_asof"),
+    )
+
+
+def _contamination_sql(k: int = 3) -> str:
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {k}
+         THEN list_transform(range(len(words) - {k - 1}),
+                             i -> {_shingle_concat_sql(k)})
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM base
+),
+bench AS (
+  SELECT DISTINCT s AS shingle
+  FROM sh, unnest(shingles) AS t(s) WHERE doc_id % 97 = 0
+),
+corpus AS (
+  SELECT doc_id, list_distinct(shingles) AS ds FROM sh WHERE doc_id % 97 <> 0
+),
+ex AS (
+  SELECT doc_id, len(ds) AS n_shingles, s AS shingle
+  FROM corpus, unnest(ds) AS t(s)
+),
+hits AS (
+  SELECT doc_id, n_shingles, count(*) AS n_contaminated
+  FROM ex JOIN bench USING (shingle) GROUP BY doc_id, n_shingles
+)
+SELECT doc_id, CAST(n_shingles AS INT) AS n_shingles,
+  CAST(n_contaminated AS BIGINT) AS n_contaminated,
+  round(n_contaminated / n_shingles, 6) AS contamination_ratio
+FROM hits
+"""
+
+
+CONTAMINATION_SQL = _contamination_sql()
+
+
+def q_docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (the eval-leakage scan every training
+    corpus needs): docs sharing word k-grams with a held-out benchmark set
+    (here: every 97th doc). Plan shape for 100 TB: the benchmark shingle
+    set is small → broadcast hash join against the exploded corpus
+    shingles; the groupBy has map-side combine on (doc_id, n_shingles).
+    The corpus side is never self-joined and never collected."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sh = docs.select(
+        "doc_id", dedup.word_shingles(F.col("text"), 3).alias("shingles")
+    )
+    bench_sh = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.size(F.array_distinct("shingles")).alias("n_shingles"),
+            F.explode(F.array_distinct("shingles")).alias("shingle"),
+        )
+    )
+    hits = (
+        corpus.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return hits.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
+# Deterministic stratified sampling: per (lang, source) stratum keep the 5
+# docs ranked by md5(doc_id) — a replay-stable pseudo-random order both
+# engines compute identically. The window sorts within strata only (the
+# shuffle key is the stratum), so at corpus scale no global sort exists.
+STRATIFIED_SAMPLE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+    row_number() OVER (PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= 5
+"""
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", "source",
+            F.row_number().over(w).cast("int").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= 5)
+    )
+
+
+# Global vocabulary top-k: the classic two-phase pattern — partial counts
+# map-side, one shuffle on the word, then TakeOrderedAndProject for the
+# top slice (no global sort materialization). (count DESC, word ASC) is a
+# total order because word is the group key, so LIMIT is deterministic.
+VOCAB_TOPK_SQL = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM w WHERE word <> '' GROUP BY word
+)
+SELECT word, n_occurrences FROM c
+ORDER BY n_occurrences DESC, word LIMIT 50
+"""
+
+
+def q_docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("word")).limit(50)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2224,6 +2488,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_continuous_final_state": q_cdc_continuous_final_state,
     "docs_pii_scrub": q_docs_pii_scrub,
     "docs_top_word_ratio": q_docs_top_word_ratio,
+    "cdc_debezium_roundtrip": q_cdc_debezium_roundtrip,
+    "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof_join,
+    "docs_contamination": q_docs_contamination,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_vocab_topk": q_docs_vocab_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2276,4 +2546,10 @@ ORACLES: dict[str, str] = {
     "cdc_continuous_final_state": CDC_FINAL_STATE_SQL,
     "docs_pii_scrub": DOCS_PII_SCRUB_SQL,
     "docs_top_word_ratio": DOCS_TOP_WORD_SQL,
+    "cdc_debezium_roundtrip": CDC_FINAL_STATE_SQL,
+    "events_sessionize": SESSIONIZE_SQL,
+    "events_asof_join": ASOF_SQL,
+    "docs_contamination": CONTAMINATION_SQL,
+    "docs_stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "docs_vocab_topk": VOCAB_TOPK_SQL,
 }

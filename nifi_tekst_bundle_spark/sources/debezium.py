@@ -1,0 +1,139 @@
+"""Debezium-envelope CDC source.
+
+Debezium is the de-facto wire format for binlog/WAL tailing (MySQL,
+Postgres): one JSON envelope per change with ``op`` ∈ {c,r,u,d},
+``before``/``after`` row images, and a ``source.lsn`` position. This
+adapter turns a DataFrame of envelope strings (e.g. a Kafka ``value``
+column, or a text-file tail) into the engine's normalized
+``CHANGE_EVENT_SCHEMA`` rows, so everything downstream — validation,
+LWW registers, fenced lake commits — is shared with the native log path.
+
+The reference's equivalent seam is parsing the NiFi change-batch JSON into
+instructions (ReorderFiles.kt:359-366 + addInstruction
+ReorderFiles.kt:124-189); here the parse is a single JVM-side
+``from_json`` with an explicit schema — no Python in the path, no schema
+inference job, fully whole-stage-codegen. Malformed envelopes parse to
+NULL and are routed to the dead-letter table by ``resolve.validate``
+(op NULL → ``bad_op``), never dropped silently.
+
+Scale notes: ``from_json`` with a literal schema is a narrow projection —
+the adapter adds zero shuffles. Unknown/extra JSON fields are ignored by
+construction (explicit schema), so producer-side additive evolution of the
+envelope never breaks ingest; row-image evolution arrives through the
+``extra`` map exactly like the native path (schemas.py SCHEMA_EVOLUTION).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Row images carry the transcripts key + payload. Debezium temporal
+# columns arrive as epoch-microseconds (io.debezium.time.MicroTimestamp).
+DEBEZIUM_ROW = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts_us", T.LongType(), True),
+        T.StructField("extra", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("schema_version", T.IntegerType(), True),
+    ]
+)
+
+DEBEZIUM_ENVELOPE = T.StructType(
+    [
+        T.StructField("op", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField(
+            "source",
+            T.StructType(
+                [
+                    T.StructField("lsn", T.LongType(), True),
+                    T.StructField("txId", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("before", DEBEZIUM_ROW, True),
+        T.StructField("after", DEBEZIUM_ROW, True),
+    ]
+)
+
+
+def parse_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Envelope strings → normalized CHANGE_EVENT_SCHEMA rows.
+
+    op mapping: c (create) and r (snapshot read) → insert, u → update,
+    d → delete (key + payload read from ``before``). Anything else —
+    including unparseable JSON or an envelope missing ``source.lsn`` —
+    keeps a NULL/foreign op so ``resolve.validate`` dead-letters it with
+    an explicit reason instead of this adapter guessing.
+
+    Debezium has no move/rename op (row identity is the primary key), so
+    ``src_conv_id``/``src_turn_idx`` are always NULL here; moves exist
+    only on the engine's native log format.
+    """
+    p = F.from_json(F.col(value_col), DEBEZIUM_ENVELOPE)
+    row = F.when(p["op"] == "d", p["before"]).otherwise(p["after"])
+    op = (
+        F.when(p["op"].isin("c", "r"), F.lit("insert"))
+        .when(p["op"] == "u", F.lit("update"))
+        .when(p["op"] == "d", F.lit("delete"))
+        .otherwise(p["op"])  # foreign/NULL op → validate() → dead letter
+    )
+    return df.select(
+        p["source"]["lsn"].alias("lsn"),
+        F.coalesce(p["source"]["txId"], F.lit("tx-unknown")).alias("batch_id"),
+        op.alias("op"),
+        row["conv_id"].alias("conv_id"),
+        row["turn_idx"].alias("turn_idx"),
+        F.lit(None).cast("string").alias("src_conv_id"),
+        F.lit(None).cast("int").alias("src_turn_idx"),
+        row["role"].alias("role"),
+        row["text"].alias("text"),
+        row["tool"].alias("tool"),
+        F.timestamp_micros(row["ts_us"]).alias("ts"),
+        row["extra"].alias("extra"),
+        F.coalesce(row["schema_version"], F.lit(1)).alias("schema_version"),
+    )
+
+
+def to_debezium(events: DataFrame) -> DataFrame:
+    """Normalized change events → one envelope string per event
+    (column ``value``), the exact inverse of :func:`parse_debezium` for
+    the insert/update/delete subset.
+
+    Used by tests and the round-trip oracle query to prove the parse is
+    lossless; a real deployment gets envelopes from the upstream
+    connector, not from this function.
+    """
+    row = F.struct(
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("role"),
+        F.col("text"),
+        F.col("tool"),
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+        F.col("extra"),
+        F.col("schema_version"),
+    )
+    dbz_op = (
+        F.when(F.col("op") == "insert", F.lit("c"))
+        .when(F.col("op") == "update", F.lit("u"))
+        .when(F.col("op") == "delete", F.lit("d"))
+        .otherwise(F.col("op"))
+    )
+    env = F.struct(
+        dbz_op.alias("op"),
+        F.lit(None).cast("long").alias("ts_ms"),
+        F.struct(
+            F.col("lsn").alias("lsn"), F.col("batch_id").alias("txId")
+        ).alias("source"),
+        F.when(F.col("op") == "delete", row).alias("before"),
+        F.when(F.col("op") != "delete", row).alias("after"),
+    )
+    return events.select(F.to_json(env).alias("value"))

@@ -1,0 +1,133 @@
+"""Temporal operators + Debezium source: edge semantics.
+
+- as-of join: ≤ tie semantics, NULL before any right row, key isolation
+- sessionize: exact-gap boundary, single-event sessions, 1-based indexes
+- Debezium: lossless roundtrip, malformed/foreign envelopes dead-letter
+  (the reference's failure relationship, ReorderFiles.kt:416-418)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nifi_tekst_bundle_spark.operators import temporal, resolve
+from nifi_tekst_bundle_spark.sources import debezium
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_le_semantics_and_null_before_first(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts(0)),   # before any right row -> NULL
+            (2, "u1", _ts(10)),  # exactly AT right ts -> matches (<=)
+            (3, "u1", _ts(15)),  # between -> 10.0
+            (4, "u1", _ts(30)),  # after second -> 20.0
+            (5, "u2", _ts(30)),  # other key, no right rows -> NULL
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(10), 10.0), ("u1", _ts(20), 20.0)],
+        "user_id string, ts timestamp, v double",
+    )
+    out = temporal.asof_join(left, right, on=["user_id"], value_cols=["v"])
+    got = {r["event_id"]: r["v_asof"] for r in out.collect()}
+    assert got == {1: None, 2: 10.0, 3: 10.0, 4: 20.0, 5: None}
+
+
+def test_asof_join_preserves_left_columns_and_rowcount(spark):
+    left = spark.createDataFrame(
+        [(i, "u1", _ts(i), f"p{i}") for i in range(8)],
+        "event_id long, user_id string, ts timestamp, payload string",
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(3), 1.0)], "user_id string, ts timestamp, v double"
+    )
+    out = temporal.asof_join(left, right, on=["user_id"], value_cols=["v"])
+    assert out.count() == 8
+    assert set(out.columns) == {"event_id", "user_id", "ts", "payload", "v_asof"}
+    rows = {r["event_id"]: (r["payload"], r["v_asof"]) for r in out.collect()}
+    assert rows[0] == ("p0", None) and rows[3] == ("p3", 1.0)
+    assert rows[7] == ("p7", 1.0)
+
+
+def test_sessionize_gap_boundary_is_strict(spark):
+    # gaps: 1800s exactly (NOT a new session under strict >), 1801s (new)
+    ev = spark.createDataFrame(
+        [
+            ("u1", dt.datetime(2024, 1, 1, 0, 0, 0)),
+            ("u1", dt.datetime(2024, 1, 1, 0, 30, 0)),   # +1800s -> same
+            ("u1", dt.datetime(2024, 1, 1, 1, 0, 1)),    # +1801s -> new
+            ("u2", dt.datetime(2024, 1, 1, 5, 0, 0)),    # lone event
+        ],
+        "user_id string, ts timestamp",
+    )
+    out = temporal.sessionize(ev, key="user_id", gap_minutes=30).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_key["u1"], key=lambda r: r["session_idx"])
+    assert [r["n_events"] for r in u1] == [2, 1]
+    assert u1[0]["session_idx"] == 1 and u1[0]["duration_s"] == 1800.0
+    assert by_key["u2"][0]["n_events"] == 1
+    assert by_key["u2"][0]["duration_s"] == 0.0
+
+
+def _roundtrip(spark, rows):
+    ev = spark.createDataFrame(
+        rows,
+        "lsn long, batch_id string, op string, conv_id string, turn_idx int, "
+        "src_conv_id string, src_turn_idx int, role string, text string, "
+        "tool string, ts timestamp, extra map<string,string>, "
+        "schema_version int",
+    )
+    return debezium.parse_debezium(debezium.to_debezium(ev))
+
+
+def test_debezium_roundtrip_is_lossless(spark):
+    rows = [
+        (1, "tx1", "insert", "c1", 0, None, None, "user", "hello", None,
+         dt.datetime(2024, 1, 1, 12, 0, 0, 123456), {"language": "nb"}, 2),
+        (2, "tx1", "update", "c1", 0, None, None, None, "hello2", "search",
+         None, None, 1),
+        (3, "tx2", "delete", "c1", 0, None, None, None, None, None,
+         None, None, 1),
+        (4, "tx2", "insert", None, 1, None, None, "asst", "keyless", None,
+         None, None, 1),
+    ]
+    got = {r["lsn"]: r for r in _roundtrip(spark, rows).collect()}
+    assert len(got) == 4
+    r1 = got[1]
+    assert (r1["op"], r1["conv_id"], r1["turn_idx"]) == ("insert", "c1", 0)
+    assert r1["text"] == "hello" and r1["extra"] == {"language": "nb"}
+    assert r1["ts"] == dt.datetime(2024, 1, 1, 12, 0, 0, 123456)
+    assert r1["schema_version"] == 2 and r1["batch_id"] == "tx1"
+    assert got[2]["op"] == "update" and got[2]["tool"] == "search"
+    # delete reads key from the BEFORE image
+    assert got[3]["op"] == "delete" and got[3]["conv_id"] == "c1"
+    # keyless insert survives as keyless (synthesis happens in validate)
+    assert got[4]["conv_id"] is None and got[4]["turn_idx"] == 1
+
+
+def test_debezium_malformed_and_foreign_envelopes_dead_letter(spark):
+    envelopes = spark.createDataFrame(
+        [
+            ('{"op":"c","source":{"lsn":1,"txId":"t"},'
+             '"after":{"conv_id":"c1","turn_idx":0,"text":"ok"}}',),
+            ("this is not json",),
+            ('{"op":"t","source":{"lsn":3,"txId":"t"}}',),  # truncate op
+        ],
+        "value string",
+    )
+    parsed = debezium.parse_debezium(envelopes)
+    good, dead = resolve.validate(parsed, [])
+    assert [r["conv_id"] for r in good.collect()] == ["c1"]
+    reasons = sorted(r["reason"] for r in dead.collect())
+    # unparseable JSON -> NULL op -> bad_op; the foreign-op envelope also
+    # lacks a key image, and validate's precedence routes missing-key first
+    assert reasons == ["bad_op", "missing_key"]
