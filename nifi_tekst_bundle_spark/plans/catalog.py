@@ -2434,6 +2434,96 @@ def q_docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("n_occurrences"), F.asc("word")).limit(50)
 
 
+# Change data feed: net row-level diff between two committed snapshots
+# (Delta CDF / Iceberg incremental read analogue). The oracle folds the
+# event prefix (batches b00..b03 — lsn % 5 <> 0) and the full log, then
+# classifies the keyed diff into insert/delete/update_preimage/
+# update_postimage exactly like LakeTable.table_changes.
+def _cdc_state_ctes(name: str, where: str) -> str:
+    return f"""
+{name}_agg AS (
+  SELECT conv_id, turn_idx,
+    coalesce(max(lsn) FILTER (WHERE op <> 'delete'), -1) AS lup,
+    coalesce(max(lsn) FILTER (WHERE op = 'delete'), -1) AS ldel,
+    {_AGG}
+  FROM ev2 {where} GROUP BY conv_id, turn_idx
+),
+{name} AS (
+  SELECT conv_id, turn_idx,
+  {_VIS}
+  FROM {name}_agg WHERE lup > ldel
+)"""
+
+
+_TC_DIFF = (
+    "(o_role IS DISTINCT FROM n_role OR o_text IS DISTINCT FROM n_text "
+    "OR o_tool IS DISTINCT FROM n_tool)"
+)
+
+CDC_TABLE_CHANGES_SQL = f"""
+WITH ev AS ({_EV_SQL_VALID}),
+ev2 AS (
+  SELECT lsn, op,
+         coalesce(conv_id, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0')) AS conv_id,
+         turn_idx, role, text, tool
+  FROM ev
+),
+{_cdc_state_ctes("s_old", "WHERE lsn % 5 <> 0")},
+{_cdc_state_ctes("s_new", "")},
+j AS (
+  SELECT coalesce(s_old.conv_id, s_new.conv_id) AS conv_id,
+         coalesce(s_old.turn_idx, s_new.turn_idx) AS turn_idx,
+         s_old.conv_id IS NOT NULL AS in_old,
+         s_new.conv_id IS NOT NULL AS in_new,
+         s_old.role AS o_role, s_old.text AS o_text, s_old.tool AS o_tool,
+         s_new.role AS n_role, s_new.text AS n_text, s_new.tool AS n_tool
+  FROM s_old FULL OUTER JOIN s_new
+    ON s_old.conv_id = s_new.conv_id AND s_old.turn_idx = s_new.turn_idx
+)
+SELECT conv_id, turn_idx, 'insert' AS change_type,
+       n_role AS role, n_text AS text, n_tool AS tool
+FROM j WHERE NOT in_old AND in_new
+UNION ALL
+SELECT conv_id, turn_idx, 'delete', o_role, o_text, o_tool
+FROM j WHERE in_old AND NOT in_new
+UNION ALL
+SELECT conv_id, turn_idx, 'update_preimage', o_role, o_text, o_tool
+FROM j WHERE in_old AND in_new AND {_TC_DIFF}
+UNION ALL
+SELECT conv_id, turn_idx, 'update_postimage', n_role, n_text, n_tool
+FROM j WHERE in_old AND in_new AND {_TC_DIFF}
+"""
+
+
+def q_cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five fenced commits (one per producer batch) onto a LakeTable, then
+    ``table_changes`` between the snapshot after b03 and the snapshot
+    after b04 — the incremental-read contract a downstream consumer uses
+    to refresh from version A to B without a full rescan. Bucket-level
+    copy-on-write means only buckets whose file lists differ between the
+    two manifests are read (here b04 touches most buckets; a narrow
+    commit would prune almost everything)."""
+    from ..table.lake import LakeTable
+
+    events = derive_change_events(spark, sf_dir).persist()
+    tmp = tempfile.mkdtemp(prefix="cdc_tc_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "table"), payload_cols=CDC_PAYLOAD, n_buckets=8
+    )
+    for b in ["b00", "b01", "b02", "b03", "b04"]:
+        table.merge_batch(
+            spark,
+            events.filter(F.col("batch_id") == b),
+            fence_key=f"batch-{b}",
+            batch_id=b,
+        )
+        if b == "b03":
+            v_from = table._head_version()
+    v_to = table._head_version()
+    events.unpersist()
+    return table.table_changes(spark, v_from, v_to)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2494,6 +2584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_contamination": q_docs_contamination,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_vocab_topk": q_docs_vocab_topk,
+    "cdc_table_changes": q_cdc_table_changes,
 }
 
 ORACLES: dict[str, str] = {
@@ -2552,4 +2643,5 @@ ORACLES: dict[str, str] = {
     "docs_contamination": CONTAMINATION_SQL,
     "docs_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "docs_vocab_topk": VOCAB_TOPK_SQL,
+    "cdc_table_changes": CDC_TABLE_CHANGES_SQL,
 }

@@ -343,7 +343,52 @@ class LakeTable:
     def read_registers(
         self, spark: SparkSession, buckets: set[int] | None = None
     ) -> DataFrame:
+        # The manifest IS the schema authority (Iceberg-style): read with
+        # the explicit schema instead of mergeSchema=true, which footer-
+        # scans every data file per read — a per-epoch O(files) metadata
+        # pass at scale. Parquet schema-on-read fills columns absent from
+        # old snapshots (pre-promotion files) with nulls, which the LWW
+        # register algebra already treats as "never assigned".
+        return self._read_registers_of(spark, self.manifest(), buckets)
+
+    def visible(self, spark: SparkSession) -> DataFrame:
         m = self.manifest()
+        return lww.visible(self.read_registers(spark), m.payload_cols)
+
+    # ---------- time travel + change data feed ----------
+
+    def manifest_at(self, version: int) -> Manifest:
+        """Historical manifest snapshot (Iceberg/Delta time travel).
+
+        Snapshots remain readable until ``vacuum()`` reclaims the data
+        files their file lists reference (vacuum keeps only files
+        referenced by HEAD) — the same retention contract as Delta's
+        VACUUM vs time travel. Manifests beyond HEAD are crash orphans,
+        never readable history."""
+        head = self._head_version()
+        if not (1 <= version <= head):
+            raise ValueError(
+                f"version {version} out of range: committed history is "
+                f"1..{head} (beyond-HEAD manifests are crash orphans)"
+            )
+        path = os.path.join(self.meta_dir, f"v{version:06d}.json")
+        try:
+            with open(path) as f:
+                return Manifest.from_json(f.read())
+        except FileNotFoundError:
+            raise ValueError(
+                f"manifest v{version} no longer exists — historical "
+                "snapshots are readable only until vacuum()"
+            ) from None
+
+    def visible_at(self, spark: SparkSession, version: int) -> DataFrame:
+        """Visible table state at a committed snapshot version."""
+        m = self.manifest_at(version)
+        return lww.visible(self._read_registers_of(spark, m), m.payload_cols)
+
+    def _read_registers_of(
+        self, spark: SparkSession, m: Manifest, buckets: set[int] | None = None
+    ) -> DataFrame:
         paths = [
             f["path"]
             for f in m.files
@@ -352,18 +397,103 @@ class LakeTable:
         ddl = self._register_ddl(m.payload_cols)
         if not paths:
             return spark.createDataFrame([], schema=ddl)
-        # The manifest IS the schema authority (Iceberg-style): read with
-        # the explicit schema instead of mergeSchema=true, which footer-
-        # scans every data file per read — a per-epoch O(files) metadata
-        # pass at scale. Parquet schema-on-read fills columns absent from
-        # old snapshots (pre-promotion files) with nulls, which the LWW
-        # register algebra already treats as "never assigned".
         df = spark.read.schema(ddl).parquet(*paths)
         return lww._align(df, m.payload_cols)
 
-    def visible(self, spark: SparkSession) -> DataFrame:
-        m = self.manifest()
-        return lww.visible(self.read_registers(spark), m.payload_cols)
+    def table_changes(
+        self, spark: SparkSession, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Net row-level changes between two snapshots — the Delta-CDF /
+        Iceberg-incremental-read analogue, so a downstream consumer can
+        refresh from version A to B without rescanning the table.
+
+        Emits one row per changed key with Delta CDF's change_type
+        vocabulary: ``insert`` / ``delete`` (the single image) and
+        ``update_preimage`` + ``update_postimage`` (both images).
+
+        Scale shape: copy-on-write at bucket granularity means a bucket
+        whose file list is IDENTICAL in both manifests cannot contain a
+        change — only differing buckets are read from either snapshot, so
+        the diff cost is proportional to the data actually touched
+        between the versions, not table size. (A rebucket() between the
+        versions invalidates the bucket correspondence → full read of
+        both sides.) The classification is one full-outer join on the key
+        within changed buckets plus a narrow explode — no driver-side
+        state."""
+        m_from = self.manifest_at(v_from)
+        m_to = self.manifest_at(v_to)
+        cols = list(m_to.payload_cols)
+
+        buckets: set[int] | None = None
+        if m_from.n_buckets == m_to.n_buckets:
+            by_bucket_from: dict[int, list[str]] = {}
+            by_bucket_to: dict[int, list[str]] = {}
+            for f in m_from.files:
+                by_bucket_from.setdefault(f["bucket"], []).append(f["path"])
+            for f in m_to.files:
+                by_bucket_to.setdefault(f["bucket"], []).append(f["path"])
+            buckets = {
+                b
+                for b in set(by_bucket_from) | set(by_bucket_to)
+                if sorted(by_bucket_from.get(b, []))
+                != sorted(by_bucket_to.get(b, []))
+            }
+
+        vf = lww.visible(
+            lww._align(self._read_registers_of(spark, m_from, buckets), cols),
+            cols,
+        )
+        vt = lww.visible(self._read_registers_of(spark, m_to, buckets), cols)
+
+        of = vf.select(
+            *[F.col(k) for k in lww.KEY],
+            F.lit(True).alias("_in_old"),
+            *[F.col(c).alias(f"_old_{c}") for c in cols],
+        )
+        nt = vt.select(
+            *[F.col(k) for k in lww.KEY],
+            F.lit(True).alias("_in_new"),
+            *[F.col(c).alias(f"_new_{c}") for c in cols],
+        )
+        j = of.join(nt, list(lww.KEY), "full_outer")
+        img_old = F.struct(*[F.col(f"_old_{c}").alias(c) for c in cols])
+        img_new = F.struct(*[F.col(f"_new_{c}").alias(c) for c in cols])
+        in_old = F.coalesce(F.col("_in_old"), F.lit(False))
+        in_new = F.coalesce(F.col("_in_new"), F.lit(False))
+        differs = None
+        for c in cols:
+            d = ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+            differs = d if differs is None else (differs | d)
+        entry = lambda t, img: F.struct(  # noqa: E731
+            F.lit(t).alias("change_type"), img.alias("img")
+        )
+        changes = (
+            F.when(~in_old & in_new, F.array(entry("insert", img_new)))
+            .when(in_old & ~in_new, F.array(entry("delete", img_old)))
+            .when(
+                in_old & in_new & differs,
+                F.array(
+                    entry("update_preimage", img_old),
+                    entry("update_postimage", img_new),
+                ),
+            )
+            .otherwise(
+                F.array().cast(
+                    f"array<struct<change_type:string,img:struct<"
+                    + ",".join(
+                        f"{c}:{vt.schema[c].dataType.simpleString()}"
+                        for c in cols
+                    )
+                    + ">>>"
+                )
+            )
+        )
+        ex = j.select(*lww.KEY, F.explode(changes).alias("_ch"))
+        return ex.select(
+            *lww.KEY,
+            F.col("_ch.change_type").alias("change_type"),
+            *[F.col(f"_ch.img.{c}").alias(c) for c in cols],
+        )
 
     # ---------- MERGE ----------
 
