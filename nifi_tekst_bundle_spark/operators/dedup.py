@@ -171,7 +171,18 @@ def minhash_near_dups(
     ~linear in corpus size for reasonable band settings.
     """
     sig = minhash_signature(df, id_col, text_col, n_hashes, k)
-    bands = lsh_bands(sig, id_col, n_hashes, n_bands)
+    # Materialize the band table before the self-join: Catalyst does not
+    # reuse the exchange across the two aliased sides (verified: 0
+    # ReusedExchange in the executed plan), so without this the whole
+    # shingle→md5→minhash pipeline — the expensive narrow stage — runs
+    # TWICE, once per side. The band table is 2 tiny columns × n_bands
+    # rows per doc; localCheckpoint (not persist) so the blocks are
+    # released by the context cleaner when the DataFrame goes out of
+    # scope rather than pinning executor storage until an unpersist
+    # nobody downstream is positioned to call.
+    bands = lsh_bands(sig, id_col, n_hashes, n_bands).localCheckpoint(
+        eager=True
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
