@@ -56,6 +56,12 @@ HEADLINE = [
     "lsh_topk",
     "embedding_neardup",
     "embedding_neardup_banded",
+    "cdc_debezium_roundtrip",
+    "events_sessionize",
+    "events_asof_join",
+    "docs_contamination",
+    "docs_stratified_sample",
+    "docs_vocab_topk",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

@@ -199,3 +199,48 @@ def test_pii_scrub_and_top_word_stay_jvm_side(spark):
 def test_pii_scrub_pushes_nonnull_filter_to_scan(spark):
     fmt = _formatted(catalog.q_docs_pii_scrub(spark, SF))
     assert "PushedFilters: [IsNotNull(text)]" in fmt or "IsNotNull(text)" in fmt
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The as-of operator is a union + ONE key shuffle + window — never a
+    range theta join (which degenerates to BroadcastNestedLoop/cartesian
+    at scale). The window sort is partition-local."""
+    df = catalog.q_events_asof_join(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly 2 exchanges: one belongs to the query's right-side dedup
+    # pre-aggregation (groupBy user_id, ts); the OPERATOR itself adds only
+    # the single key shuffle feeding the window
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set is the small side — it must broadcast so
+    the exploded corpus never shuffles on the shingle."""
+    plan = _plan(catalog.q_docs_contamination(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_topk_avoids_global_sort(spark):
+    """Global top-k compiles to TakeOrderedAndProject — no full-sort
+    materialization of the vocabulary."""
+    plan = _plan(catalog.q_docs_vocab_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_debezium_parse_stays_jvm_side(spark):
+    """from_json with an explicit schema is a JVM expression — the envelope
+    adapter adds no Python stage and no shuffle to the CDC hot path."""
+    from nifi_tekst_bundle_spark.sources import debezium
+    from nifi_tekst_bundle_spark.plans.catalog import derive_change_events
+
+    parsed = debezium.parse_debezium(
+        debezium.to_debezium(derive_change_events(spark, SF))
+    )
+    plan = _plan(parsed)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # narrow projection end-to-end
