@@ -302,6 +302,45 @@ def write_binlog_segments(events_df, out_dir: str) -> list[str]:
     return paths
 
 
+def write_debezium_segments(
+    events_df, out_dir: str, corrupt_lines: int = 0
+) -> list[str]:
+    """Lay a change-event DataFrame out as Debezium JSON-lines segments —
+    one text file per producer batch — the wire shape a Kafka-connect
+    file sink or a WAL-tailing sidecar would hand the engine.
+    ``corrupt_lines`` appends that many non-JSON lines to the FIRST
+    segment (a torn tail write) to prove corrupt input dead-letters
+    instead of stalling the stream."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .sources import debezium
+
+    os.makedirs(out_dir, exist_ok=True)
+    stage_root = tempfile.mkdtemp(prefix="dbz_stage_")
+    bids = [r[0] for r in events_df.select("batch_id").distinct().collect()]
+    paths = []
+    for i, bid in enumerate(sorted(bids)):
+        stage = os.path.join(stage_root, f"stage-{bid}")
+        debezium.to_debezium(
+            events_df.filter(F.col("batch_id") == bid)
+        ).coalesce(1).write.mode("overwrite").text(stage)
+        src = glob.glob(os.path.join(stage, "*.txt"))[0]
+        dst = os.path.join(out_dir, f"{bid}.jsonl")
+        shutil.copy(src, dst)
+        if i == 0 and corrupt_lines:
+            with open(dst, "a") as f:
+                for j in range(corrupt_lines):
+                    f.write(f"corrupt line {j} not-json\n")
+        paths.append(dst)
+    shutil.rmtree(stage_root, ignore_errors=True)
+    return paths
+
+
 def atomic_append_segment(src: str, live_dir: str) -> str:
     """Append a binlog segment to a directory a stream is LIVE-listing:
     copy to a dot-prefixed name (invisible to Spark's file listing) and

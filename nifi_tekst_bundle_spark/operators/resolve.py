@@ -61,7 +61,13 @@ def validate(events: DataFrame, promoted: list[str]) -> tuple[DataFrame, DataFra
         | ~F.col("src_conv_id").rlike(SAFE_KEY_REGEX)
     )
     reason = (
-        F.when(~F.col("op").isin(*VALID_OPS), F.lit("bad_op"))
+        # isNull explicitly: a NULL op (e.g. an unparseable wire envelope)
+        # is "no valid operation" — without it the isin() null propagates
+        # and the row would fall through to a misleading missing_key
+        F.when(
+            F.col("op").isNull() | ~F.col("op").isin(*VALID_OPS),
+            F.lit("bad_op"),
+        )
         .when(F.col("conv_id").isNull() & (F.col("op") != "insert"), F.lit("missing_key"))
         .when(F.col("turn_idx").isNull(), F.lit("missing_key"))
         .when(

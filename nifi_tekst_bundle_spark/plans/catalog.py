@@ -2525,6 +2525,219 @@ def q_cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# corpus operators (round-3 batch 2): boilerplate detection, repetition
+# signals, balanced token shards
+# --------------------------------------------------------------------------
+
+
+def _boilerplate_sql(k: int = 4, min_docs: int = 3) -> str:
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {k}
+         THEN list_transform(range(len(words) - {k - 1}),
+                             i -> {_shingle_concat_sql(k)})
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM base
+),
+ex AS (
+  SELECT doc_id, s AS shingle
+  FROM sh, unnest(list_distinct(shingles)) AS t(s)
+),
+bp AS (
+  SELECT shingle FROM ex GROUP BY shingle
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_shingles FROM ex GROUP BY doc_id
+),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_boilerplate
+  FROM ex e JOIN bp USING (shingle) GROUP BY e.doc_id
+)
+SELECT p.doc_id,
+  CAST(p.n_shingles AS BIGINT) AS n_shingles,
+  CAST(coalesce(h.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+  round(coalesce(h.n_boilerplate, 0) * 1.0 / p.n_shingles, 6)
+    AS boilerplate_ratio
+FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+"""
+
+
+BOILERPLATE_SQL = _boilerplate_sql()
+
+
+def q_docs_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the CCNet/RefinedWeb step that
+    strips navigation chrome and license footers): a word 4-gram occurring
+    in >= 3 distinct documents is boilerplate; each doc reports what
+    fraction of its distinct shingles are boilerplate. 100-TB plan shape:
+    one shuffle keyed on the shingle (high cardinality, no skew) finds the
+    boilerplate set, which is SMALL by construction (only shingles shared
+    across docs) -> broadcast back against the exploded corpus; both
+    per-doc groupBys map-side combine. The corpus is never self-joined.
+    Reference analogue: the shared-key dedup before expensive sink ops
+    (RenameS3Utils.kt:52), lifted from instruction pairs to shingles."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ex = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(dedup.word_shingles(F.col("text"), 4))
+        ).alias("shingle"),
+    )
+    # Single scan, two shuffles: a count window keyed on the shingle marks
+    # each (doc, shingle) row as boilerplate-or-not in place (each pair is
+    # distinct, so count(*) over the shingle == count(distinct doc)), then
+    # one map-side-combinable groupBy on doc_id folds both tallies. The
+    # alternative (groupBy shingle -> broadcast join back) re-derives the
+    # exploded corpus per consumer — 3 scans and a driver-collected
+    # broadcast of a computed aggregate; measured 6x slower at sf0.01.
+    nd = F.count("*").over(Window.partitionBy("shingle"))
+    marked = ex.select("doc_id", (nd >= 3).cast("int").alias("is_bp"))
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("is_bp").alias("n_boilerplate"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_boilerplate").cast("bigint").alias("n_boilerplate"),
+        F.round(
+            F.col("n_boilerplate") * F.lit(1.0) / F.col("n_shingles"), 6
+        ).alias("boilerplate_ratio"),
+    )
+
+
+def _rep_gram_sql(k: int) -> str:
+    join = " || ' ' || ".join(f"words[i+{j + 1}]" for j in range(k))
+    return (
+        f"CASE WHEN len(words) >= {k} "
+        f"THEN list_transform(range(len(words) - {k - 1}), i -> {join}) "
+        f"ELSE [] END"
+    )
+
+
+REPETITION_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, words,
+    {_rep_gram_sql(2)} AS g2,
+    {_rep_gram_sql(3)} AS g3
+  FROM base
+)
+SELECT doc_id,
+  CAST(len(words) AS BIGINT) AS n_words,
+  round(CASE WHEN len(words) > 0
+        THEN 1.0 - len(list_distinct(words)) * 1.0 / len(words)
+        ELSE 0.0 END, 6) AS dup_word_ratio,
+  round(CASE WHEN len(g2) > 0
+        THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2)
+        ELSE 0.0 END, 6) AS dup_2gram_ratio,
+  round(CASE WHEN len(g3) > 0
+        THEN 1.0 - len(list_distinct(g3)) * 1.0 / len(g3)
+        ELSE 0.0 END, 6) AS dup_3gram_ratio
+FROM g
+"""
+
+
+def _word_grams(words, k: int):
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_ratio(grams):
+    n = F.size(grams)
+    return F.round(
+        F.when(
+            n > 0,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) * F.lit(1.0) / n,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition filters:
+    duplicate word / 2-gram / 3-gram fractions). Pure narrow projection —
+    every ratio is computed inside one whole-stage-codegen'd expression
+    over the row's own token array, NO explode, NO shuffle, so at 100 TB
+    this is a single scan at IO speed. Reference analogue: the per-file
+    enrichment shape of Jhove.onTrigger (Jhove.kt:449-516), columnar."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    d = docs.select("doc_id", words.alias("words"))
+    return d.select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        _dup_ratio(F.col("words")).alias("dup_word_ratio"),
+        _dup_ratio(_word_grams(F.col("words"), 2)).alias("dup_2gram_ratio"),
+        _dup_ratio(_word_grams(F.col("words"), 3)).alias("dup_3gram_ratio"),
+    )
+
+
+TOKEN_SHARDS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    w -> w <> '')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tokens AS cum_before
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(floor(cum_before / 2000.0) AS INT) AS shard_id
+FROM c
+"""
+
+
+def q_docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment: greedy-pack docs (in doc_id
+    order) into ~2000-token shards. The oracle's single global window is
+    exactly what the engine must NOT do at scale — operators/shard.py runs
+    the distributed two-phase prefix sum instead (per-chunk totals ->
+    bounded driver fold -> broadcast offsets -> within-chunk window), and
+    this oracle row proves the two formulations agree bit-for-bit."""
+    from ..operators import shard
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    t = docs.select(
+        "doc_id", F.size(words).cast("bigint").alias("n_tokens")
+    )
+    out = shard.balanced_shards(
+        t, "doc_id", "n_tokens", target_weight=2000, ids_per_chunk=64
+    )
+    return out.select("doc_id", "n_tokens", "shard_id")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2585,6 +2798,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_vocab_topk": q_docs_vocab_topk,
     "cdc_table_changes": q_cdc_table_changes,
+    "docs_boilerplate": q_docs_boilerplate,
+    "docs_repetition": q_docs_repetition,
+    "docs_token_shards": q_docs_token_shards,
 }
 
 ORACLES: dict[str, str] = {
@@ -2644,4 +2860,7 @@ ORACLES: dict[str, str] = {
     "docs_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "docs_vocab_topk": VOCAB_TOPK_SQL,
     "cdc_table_changes": CDC_TABLE_CHANGES_SQL,
+    "docs_boilerplate": BOILERPLATE_SQL,
+    "docs_repetition": REPETITION_SQL,
+    "docs_token_shards": TOKEN_SHARDS_SQL,
 }

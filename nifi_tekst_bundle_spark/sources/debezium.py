@@ -97,7 +97,17 @@ def parse_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
         row["text"].alias("text"),
         row["tool"].alias("tool"),
         F.timestamp_micros(row["ts_us"]).alias("ts"),
-        row["extra"].alias("extra"),
+        # envelope without an op (unparseable JSON — from_json PERMISSIVE
+        # yields an all-null struct — or a JSON object missing the
+        # mandatory field) → keep the raw line under extra['_raw'] so the
+        # dead-letter row stays debuggable (and two distinct corrupt lines
+        # never collapse in the dead-letter dedupe)
+        F.when(
+            p["op"].isNull(),
+            F.create_map(F.lit("_raw"), F.col(value_col)),
+        )
+        .otherwise(row["extra"])
+        .alias("extra"),
         F.coalesce(row["schema_version"], F.lit(1)).alias("schema_version"),
     )
 

@@ -36,6 +36,39 @@ from ..schemas import CHANGE_EVENT_SCHEMA
 from ..table.lake import LakeTable
 
 
+def _source(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int,
+    source_format: str = "parquet",
+) -> DataFrame:
+    """Streaming source → CHANGE_EVENT_SCHEMA rows.
+
+    ``parquet``: the engine's native log segments. ``debezium``:
+    JSON-lines text segments of Debezium envelopes (the binlog/WAL wire
+    format real connectors emit), parsed JVM-side by
+    ``sources.debezium.parse_debezium`` — malformed lines flow through as
+    NULL-op rows and dead-letter inside the fenced commit, so a corrupt
+    segment never stalls the stream."""
+    if source_format == "parquet":
+        return (
+            spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(events_dir)
+        )
+    if source_format == "debezium":
+        from ..sources import debezium
+
+        raw = (
+            spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+            .text(events_dir)
+        )
+        return debezium.parse_debezium(raw)
+    raise ValueError(
+        f"unknown source_format {source_format!r}: expected 'parquet' or 'debezium'"
+    )
+
+
 @dataclass
 class StreamStats:
     epochs_seen: int = 0
@@ -182,6 +215,7 @@ def start_continuous(
     fail_after: list[int] | None = None,
     hot_key_threshold: int | None = None,
     coalesce_move_free: bool = True,
+    source_format: str = "parquet",
 ):
     """Long-running production mode: a ProcessingTime trigger that keeps
     polling ``events_dir`` for new binlog segments — the deployment shape
@@ -196,11 +230,7 @@ def start_continuous(
     with re-delivered batches fenced out (proven by
     test_processing_time_live_appends_crash_resume)."""
     stats = StreamStats()
-    src = (
-        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(events_dir)
-    )
+    src = _source(spark, events_dir, max_files_per_trigger, source_format)
     q = (
         src.writeStream.foreachBatch(
             make_apply_fn(table, run_id, stats, fail_after, hot_key_threshold,
@@ -254,16 +284,13 @@ def run_to_completion(
     fail_after: list[int] | None = None,
     hot_key_threshold: int | None = None,
     coalesce_move_free: bool = True,
+    source_format: str = "parquet",
 ) -> StreamStats:
     """Consume everything currently in events_dir (Trigger.AvailableNow),
     applying fenced commits; returns stream stats. Re-invoking after a
     crash resumes from the checkpoint without dupes or gaps."""
     stats = StreamStats()
-    src = (
-        spark.readStream.schema(CHANGE_EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(events_dir)
-    )
+    src = _source(spark, events_dir, max_files_per_trigger, source_format)
     q = (
         src.writeStream.foreachBatch(
             make_apply_fn(table, run_id, stats, fail_after, hot_key_threshold,

@@ -686,14 +686,28 @@ class LakeTable:
             }
             for r in lin_rows
         ]
-        dead = dead1.select("lsn", "batch_id", "op", "reason").unionByName(
-            dead2.select("lsn", "batch_id", "op", "reason")
+        # detail: the raw wire payload for unparseable envelopes (set by
+        # sources.debezium under extra['_raw']) — keeps dead letters
+        # debuggable and keeps DISTINCT corrupt lines distinct through the
+        # (fence_key, lsn, detail) read-path dedupe (they all share a NULL
+        # lsn, so without it they'd collapse to one row)
+        detail1 = (
+            F.try_element_at(F.col("extra"), F.lit("_raw"))
+            if "extra" in dead1.columns
+            else F.lit(None).cast("string")
+        )
+        dead = dead1.select(
+            "lsn", "batch_id", "op", "reason", detail1.alias("detail")
+        ).unionByName(
+            dead2.select("lsn", "batch_id", "op", "reason").withColumn(
+                "detail", F.lit(None).cast("string")
+            )
         ).persist()  # one derivation feeds both the count and the write
         dl_count = dead.count()
         dl_path = os.path.join(self.dl_dir, f"att-{attempt}")
         if dl_count:
             # per-attempt subdir in the append-only side-table: rows are
-            # deterministic per fence (dedupe on (fence_key, lsn) covers
+            # deterministic per fence (dedupe on (fence_key, lsn, detail) covers
             # crash-retry duplicates) and the subdir makes a failed
             # commit's rows deletable without touching other attempts
             (
@@ -938,12 +952,17 @@ class LakeTable:
 
     def dead_letters(self, spark: SparkSession) -> DataFrame:
         m = self.manifest()
-        schema = "lsn long, batch_id string, op string, reason string, fence_key string"
+        schema = (
+            "lsn long, batch_id string, op string, reason string, "
+            "detail string, fence_key string"
+        )
         out = None
         paths = [f["path"] for f in m.dead_letter_files]
         if paths:  # legacy manifest-listed files (no fence_key column)
-            out = spark.read.parquet(*paths).withColumn(
-                "fence_key", F.lit(None).cast("string")
+            out = (
+                spark.read.parquet(*paths)
+                .withColumn("detail", F.lit(None).cast("string"))
+                .withColumn("fence_key", F.lit(None).cast("string"))
             )
         if os.path.isdir(self.dl_dir) and os.listdir(self.dl_dir):
             # recursiveFileLookup: new-style rows live in per-attempt
@@ -965,8 +984,8 @@ class LakeTable:
                 side, fences, horizon,
                 F.coalesce(F.col("epoch_id"), parsed, F.lit(-1)),
             )
-            side = side.dropDuplicates(["fence_key", "lsn"]).select(
-                "lsn", "batch_id", "op", "reason", "fence_key"
+            side = side.dropDuplicates(["fence_key", "lsn", "detail"]).select(
+                "lsn", "batch_id", "op", "reason", "detail", "fence_key"
             )
             out = side if out is None else out.unionByName(side)
         if out is None:

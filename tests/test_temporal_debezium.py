@@ -128,6 +128,74 @@ def test_debezium_malformed_and_foreign_envelopes_dead_letter(spark):
     good, dead = resolve.validate(parsed, [])
     assert [r["conv_id"] for r in good.collect()] == ["c1"]
     reasons = sorted(r["reason"] for r in dead.collect())
-    # unparseable JSON -> NULL op -> bad_op; the foreign-op envelope also
-    # lacks a key image, and validate's precedence routes missing-key first
-    assert reasons == ["bad_op", "missing_key"]
+    # unparseable JSON -> NULL op -> bad_op (explicit isNull in validate);
+    # the foreign op 't' is likewise bad_op
+    assert reasons == ["bad_op", "bad_op"]
+    # the unparseable line's raw text is preserved for debugging
+    raws = {
+        (r["extra"] or {}).get("_raw")
+        for r in dead.collect()
+    }
+    assert "this is not json" in raws
+
+
+def test_debezium_streaming_source_end_to_end(spark, tmp_path):
+    """The production wire path: Debezium JSON-lines segments → streaming
+    parse → fenced LakeTable commits. Final state equals the native-path
+    batch fold; corrupt lines dead-letter (never stall the stream)."""
+    from nifi_tekst_bundle_spark import fixtures
+    from nifi_tekst_bundle_spark.operators import lww
+    from nifi_tekst_bundle_spark.streaming import runner
+    from nifi_tekst_bundle_spark.table.lake import LakeTable
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        op = "delete" if i % 10 == 9 else ("update" if i % 3 == 0 else "insert")
+        rows.append(
+            (i + 1, f"b{i % 3}", op, f"c{i % 7}", i % 4, None, None,
+             "user", None if op == "delete" else f"t{i}", None,
+             base, None, 1)
+        )
+    import pandas as pd
+
+    from .conftest import spark_events
+
+    ev = spark_events(spark, pd.DataFrame(rows, columns=[
+        "lsn", "batch_id", "op", "conv_id", "turn_idx", "src_conv_id",
+        "src_turn_idx", "role", "text", "tool", "ts", "extra",
+        "schema_version"]))
+    seg_dir = str(tmp_path / "dbz")
+    fixtures.write_debezium_segments(ev, seg_dir, corrupt_lines=2)
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), payload_cols=["role", "text", "tool", "ts"],
+        n_buckets=4,
+    )
+    runner.run_to_completion(
+        spark, seg_dir, table, str(tmp_path / "ck"), run_id="dbz",
+        max_files_per_trigger=1, source_format="debezium",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in table.visible(spark).collect()
+    }
+    regs = lww.batch_registers(
+        ev.select("lsn", "batch_id", "op", "conv_id", "turn_idx",
+                  "role", "text", "tool", "ts"),
+        ["role", "text", "tool", "ts"],
+    )
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in lww.visible(regs, ["role", "text", "tool", "ts"]).collect()
+    }
+    assert got == want
+    dead = table.dead_letters(spark)
+    bad = dead.filter(dead.reason == "bad_op").collect()
+    # BOTH corrupt lines survive the (fence_key, lsn, detail) dedupe, each
+    # carrying its raw line for debugging
+    assert len(bad) == 2
+    assert {r["detail"] for r in bad} == {
+        "corrupt line 0 not-json",
+        "corrupt line 1 not-json",
+    }
