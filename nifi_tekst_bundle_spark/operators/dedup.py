@@ -288,6 +288,125 @@ def dedup_clusters(
     )
 
 
+# ------------------------------------------------ incremental (novelty) dedup
+
+
+def incremental_near_dups(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 4,
+    n_bands: int = 2,
+    jaccard_threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Novelty filter for continuous ingest: classify each ``incoming`` doc
+    against the existing ``corpus`` WITHOUT re-deduplicating the corpus.
+
+    This is the epoch shape of dedup in a crawling pipeline (and the CDC
+    analogue of the reference's dedup-before-apply, RenameS3Utils.kt:52):
+    each micro-batch must be checked against everything already ingested,
+    so the corpus side is only ever touched through (a) an equi-join on
+    its exact-hash column and (b) an equi-join on its LSH band table —
+    both of which are precomputable, incrementally maintainable signature
+    tables at 100 TB (this function derives them inline because the
+    fixture is small; the plan shape is identical either way). The
+    incoming side is one epoch — small — so both joins are broadcast-
+    eligible and AQE picks that up; the corpus is never self-joined and
+    never collected.
+
+    Returns one row per incoming doc:
+      (id, verdict, match_id, jaccard)
+    - verdict='exact': identical text bytes exist in the corpus;
+      match_id = lowest such corpus id; jaccard NULL (trivially 1).
+    - verdict='near' : no exact twin, but an LSH band collision with a
+      corpus doc whose verified k-gram Jaccard >= threshold; match_id =
+      the best match (highest jaccard, ties to lowest corpus id).
+    - verdict='novel': neither — the doc a training pipeline keeps.
+    """
+    ic = F.col(id_col)
+    # exact twins: one hash equi-join, lowest corpus id per incoming doc
+    in_h = incoming.select(
+        ic.alias("_in_id"), F.md5(F.col(text_col).cast("binary")).alias("_h")
+    )
+    co_h = corpus.select(
+        ic.alias("_co_id"), F.md5(F.col(text_col).cast("binary")).alias("_h")
+    )
+    exact = (
+        in_h.join(co_h, "_h")
+        .groupBy("_in_id")
+        .agg(F.min("_co_id").alias("exact_match_id"))
+    )
+
+    # LSH candidates: incoming bands ⋈ corpus bands on (band_id, band_hash)
+    in_sig = minhash_signature(incoming, id_col, text_col, n_hashes, k)
+    co_sig = minhash_signature(corpus, id_col, text_col, n_hashes, k)
+    in_bands = lsh_bands(in_sig, id_col, n_hashes, n_bands).select(
+        F.col(id_col).alias("_in_id"), "band_id", "band_hash"
+    )
+    co_bands = lsh_bands(co_sig, id_col, n_hashes, n_bands).select(
+        F.col(id_col).alias("_co_id"), "band_id", "band_hash"
+    )
+    cand = (
+        in_bands.join(co_bands, ["band_id", "band_hash"])
+        .select("_in_id", "_co_id")
+        .distinct()
+    )
+    # verify candidates only: shingle construction runs over ~|candidates|
+    # rows (expression evaluation never pushes through the join)
+    in_raw = incoming.select(ic.alias("_in_id"), F.col(text_col).alias("_t_in"))
+    co_raw = corpus.select(ic.alias("_co_id"), F.col(text_col).alias("_t_co"))
+    j = (
+        cand.join(in_raw, "_in_id")
+        .join(co_raw, "_co_id")
+        .withColumn("_sh_in", word_shingles(F.col("_t_in"), k))
+        .withColumn("_sh_co", word_shingles(F.col("_t_co"), k))
+        .withColumn(
+            "_jac",
+            F.round(
+                F.size(F.array_intersect("_sh_in", "_sh_co"))
+                / F.greatest(
+                    F.size(F.array_union("_sh_in", "_sh_co")), F.lit(1)
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("_jac") >= jaccard_threshold)
+    )
+    w = Window.partitionBy("_in_id").orderBy(
+        F.desc("_jac"), F.asc("_co_id")
+    )
+    near = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_in_id", F.col("_co_id").alias("near_match_id"),
+                F.col("_jac").alias("near_jaccard"))
+    )
+
+    base = incoming.select(ic.alias("_in_id"))
+    out = (
+        base.join(exact, "_in_id", "left")
+        .join(near, "_in_id", "left")
+        .select(
+            F.col("_in_id").alias(id_col),
+            F.when(F.col("exact_match_id").isNotNull(), F.lit("exact"))
+            .when(F.col("near_match_id").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("verdict"),
+            F.when(
+                F.col("exact_match_id").isNotNull(), F.col("exact_match_id")
+            )
+            .otherwise(F.col("near_match_id"))
+            .alias("match_id"),
+            F.when(
+                F.col("exact_match_id").isNull(), F.col("near_jaccard")
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
 # ------------------------------------------------------------ simhash
 
 

@@ -2737,6 +2737,209 @@ def q_docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "shard_id")
 
 
+def _incremental_dedup_sql(n_hashes: int = 4, n_bands: int = 2, k: int = 3,
+                           threshold: float = 0.5) -> str:
+    # Mirrors dedup.incremental_near_dups: split documents into an existing
+    # corpus (doc_id % 5 <> 0) and an incoming epoch (doc_id % 5 = 0);
+    # classify each incoming doc exact/near/novel against the corpus only.
+    mh = ",\n    ".join(
+        "list_min(list_transform(hs, x -> (x * {a} + {b}) % {p})) AS m{i}".format(
+            a=dedup.mh_consts(i)[0], b=dedup.mh_consts(i)[1], p=dedup.MH_P, i=i
+        )
+        for i in range(n_hashes)
+    )
+    rows = n_hashes // n_bands
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(
+            f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    bands = "\n  UNION ALL\n  ".join(band_selects)
+    return rf"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+eh AS (SELECT doc_id, md5(text) AS h FROM d),
+exact AS (
+  SELECT i.doc_id AS doc_id, min(c.doc_id) AS exact_match_id
+  FROM eh i JOIN eh c ON i.h = c.h AND c.doc_id % 5 <> 0
+  WHERE i.doc_id % 5 = 0
+  GROUP BY i.doc_id
+),
+base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM d
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= {k}
+         THEN list_transform(range(len(words) - {k - 1}),
+                             i -> {_shingle_concat_sql(k)})
+         ELSE [array_to_string(words, ' ')] END AS shingles
+  FROM base
+),
+hb AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 15))::INT64 % {dedup.MH_P}) AS hs
+  FROM sh
+),
+sig AS (SELECT doc_id, shingles, {mh} FROM hb),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS co_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+),
+j AS (
+  SELECT c.in_id, c.co_id,
+    round(len(list_intersect(sa.shingles, sb.shingles))
+          / greatest(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1), 6) AS jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.in_id
+  JOIN sig sb ON sb.doc_id = c.co_id
+),
+near AS (
+  SELECT in_id, co_id AS near_match_id, jaccard AS near_jaccard
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY in_id
+                                 ORDER BY jaccard DESC, co_id) AS rn
+    FROM j WHERE jaccard >= {threshold}
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+  CASE WHEN e.exact_match_id IS NOT NULL THEN 'exact'
+       WHEN n.near_match_id IS NOT NULL THEN 'near'
+       ELSE 'novel' END AS verdict,
+  CASE WHEN e.exact_match_id IS NOT NULL THEN e.exact_match_id
+       ELSE n.near_match_id END AS match_id,
+  CASE WHEN e.exact_match_id IS NULL THEN n.near_jaccard END AS jaccard
+FROM d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near n ON n.in_id = d.doc_id
+WHERE d.doc_id % 5 = 0
+"""
+
+
+DOCS_INCREMENTAL_DEDUP_SQL = _incremental_dedup_sql()
+
+
+def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty filter for continuous ingest (the per-epoch dedup shape of a
+    crawling pipeline): classify an incoming batch (doc_id % 5 = 0) against
+    the already-ingested corpus as exact / near / novel. The corpus is only
+    touched through two equi-joins (exact hash, LSH band table) — at 100 TB
+    those are precomputed signature tables and the incoming epoch is the
+    broadcast-eligible small side. See dedup.incremental_near_dups."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_near_dups(
+        corpus, incoming, "doc_id", "text",
+        n_hashes=4, n_bands=2, jaccard_threshold=0.5, k=3,
+    )
+
+
+# Int8 scalar quantization of the embedding column — the vector-compression
+# pass an embedding-heavy pipeline runs before shipping vectors to an ANN
+# index (4x smaller, cache-resident distance kernels). Two-phase plan: one
+# global per-dimension min/range aggregate (a single reduce of 2*dims
+# doubles), broadcast to a narrow zip_with projection — no shuffle of the
+# vector table itself, and the stats row is the only thing that moves.
+EMBEDDING_QUANTIZE_SQL = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM e
+),
+mm AS (SELECT i, min(x) AS mn, max(x) - min(x) AS r FROM u GROUP BY i),
+q AS (
+  SELECT u.vec_id, u.i,
+    CASE WHEN r > 0
+         THEN CAST(floor((x - mn) / r * 255 + 0.5) AS INT) - 128
+         ELSE 0 END AS qi
+  FROM u JOIN mm USING (i)
+)
+SELECT vec_id, string_agg(CAST(qi AS VARCHAR), '|' ORDER BY i) AS qvec
+FROM q GROUP BY vec_id
+"""
+
+EMB_DIMS = 64
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("x"),
+    )
+    # global per-dim stats: one reduce producing a single 2-array row; the
+    # oracle's unnest+groupBy formulation is exactly what this avoids at
+    # scale (it shuffles |rows|*dims cells — here nothing shuffles but the
+    # 1-row stats)
+    mm = e.agg(
+        F.array(
+            *[F.min(F.element_at("x", i + 1)) for i in range(EMB_DIMS)]
+        ).alias("mns"),
+        F.array(
+            *[
+                F.max(F.element_at("x", i + 1))
+                - F.min(F.element_at("x", i + 1))
+                for i in range(EMB_DIMS)
+            ]
+        ).alias("rngs"),
+    )
+    q = e.crossJoin(F.broadcast(mm))
+    centered = F.zip_with("x", "mns", lambda x, mn: x - mn)
+    qi = F.zip_with(
+        centered,
+        F.col("rngs"),
+        lambda t, r: F.when(
+            r > 0, F.floor(t / r * 255 + 0.5).cast("int") - 128
+        ).otherwise(F.lit(0)),
+    )
+    return q.select(
+        "vec_id",
+        F.concat_ws(
+            "|", F.transform(qi, lambda v: v.cast("string"))
+        ).alias("qvec"),
+    )
+
+
+# Corpus length-distribution calibration: per-language exact percentiles of
+# document length — the stats pass that sets quality-filter thresholds.
+# Exact (not approx) so the oracle matches bit-for-bit; at 100 TB swap
+# F.percentile for F.percentile_approx with a pinned accuracy and drop the
+# oracle row to rows-only (documented trade, same plan shape: one shuffle
+# on the group key with partial aggregation).
+DOCS_LENGTH_PERCENTILES_SQL = """
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+  round(quantile_cont(n_chars, 0.9), 6) AS p90,
+  round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2801,6 +3004,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_boilerplate": q_docs_boilerplate,
     "docs_repetition": q_docs_repetition,
     "docs_token_shards": q_docs_token_shards,
+    "docs_incremental_dedup": q_docs_incremental_dedup,
+    "embedding_quantize": q_embedding_quantize,
+    "docs_length_percentiles": q_docs_length_percentiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -2863,4 +3069,7 @@ ORACLES: dict[str, str] = {
     "docs_boilerplate": BOILERPLATE_SQL,
     "docs_repetition": REPETITION_SQL,
     "docs_token_shards": TOKEN_SHARDS_SQL,
+    "docs_incremental_dedup": DOCS_INCREMENTAL_DEDUP_SQL,
+    "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
+    "docs_length_percentiles": DOCS_LENGTH_PERCENTILES_SQL,
 }

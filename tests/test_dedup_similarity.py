@@ -162,3 +162,45 @@ def test_multimodal_stub_plumbing(spark):
     if not multimodal.HAVE_PIL:
         with pytest.raises(Exception):
             multimodal.extract_features(df, decode_stub=False).collect()
+
+
+def test_incremental_near_dups_verdicts(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different words about spark shuffles and buckets"),
+        ],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            # byte-identical to corpus doc 1 -> exact
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            # shares most shingles with doc 1 -> near
+            (20, "the quick brown fox jumps over the lazy dog again and once"),
+            # nothing in common -> novel
+            (30, "entirely novel content with unique vocabulary tokens only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["verdict"], r["match_id"], r["jaccard"])
+        for r in dedup.incremental_near_dups(
+            corpus, incoming, "doc_id", "text", jaccard_threshold=0.3
+        ).collect()
+    }
+    assert out[10][0] == "exact" and out[10][1] == 1 and out[10][2] is None
+    assert out[20][0] == "near" and out[20][1] == 1 and out[20][2] >= 0.3
+    assert out[30] == ("novel", None, None)
+
+
+def test_incremental_near_dups_never_self_joins_corpus(spark, docs):
+    # corpus-side dup pairs must NOT appear: only incoming docs are output
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    out = dedup.incremental_near_dups(corpus, incoming, "doc_id", "text")
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert all(i % 5 == 0 for i in ids)
+    assert len(ids) == len(set(ids)) == incoming.filter(
+        F.col("text").isNotNull()
+    ).count()
