@@ -62,6 +62,8 @@ HEADLINE = [
     "docs_contamination",
     "docs_stratified_sample",
     "docs_vocab_topk",
+    "docs_incremental_dedup",
+    "embedding_quantize",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

@@ -244,3 +244,32 @@ def test_debezium_parse_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # narrow projection end-to-end
+
+
+def test_incremental_dedup_no_cartesian_and_jvm_side(spark):
+    """The novelty filter's corpus contact is two equi-joins (hash, band)
+    plus the candidate verify joins — never a cartesian product, never a
+    Python stage."""
+    plan = _plan(catalog.q_docs_incremental_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_embedding_quantize_broadcasts_stats_row(spark):
+    """The per-dim stats row is the ONLY broadcast side; the vector table
+    itself never shuffles (the one exchange is the stats reduce)."""
+    plan = _plan(catalog.q_embedding_quantize(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # exactly the stats aggregation's exchange — no shuffle of vectors
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_length_percentiles_single_shuffle_partial_agg(spark):
+    """Exact percentiles aggregate with map-side partials and one exchange
+    on the group key."""
+    plan = _plan(catalog.q_docs_length_percentiles(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
