@@ -2189,8 +2189,19 @@ def q_cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ReorderFiles.kt:359-366) re-expressed for the Debezium ecosystem."""
     from ..sources import debezium
 
-    events = derive_change_events(spark, sf_dir)
-    parsed = debezium.parse_debezium(debezium.to_debezium(events))
+    events = derive_change_events(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # Materialize the envelope table before parsing — envelopes are a
+    # SOURCE in production (Kafka/file scan; the streaming runner persists
+    # each epoch before validate), never a same-plan derivation. Composing
+    # serialize→parse→validate lazily is also a plan hazard: predicate
+    # pushdown substitutes validate's reason column through the parse
+    # projection, cloning the from_json(to_json(...)) tree once per column
+    # reference (measured 28 copies in the pushed filter, 9.1 s vs 1.2 s
+    # at sf0.1).
+    env = debezium.to_debezium(events).localCheckpoint(eager=True)
+    parsed = debezium.parse_debezium(env)
     good, _dead = resolve.validate(parsed, [])
     normalized = good.select(
         "lsn", "batch_id", "op", "conv_id", "turn_idx", *CDC_PAYLOAD
