@@ -249,9 +249,14 @@ def dedup_clusters(
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     )
+    # materialize the (small) edge list once: every round joins against it,
+    # and without the checkpoint each round — plus each convergence probe —
+    # re-derives the whole upstream pair pipeline (LSH candidates + jaccard
+    # verify when fed from minhash_near_dups; measured at sf0.1:
+    # docs_dedup_clusters 8.8 s -> 3.9 s, clean_corpus 9.1 s -> 5.1 s)
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
