@@ -647,6 +647,12 @@ def embedding_near_dups_banded(
             stats["dropped_buckets"] = int(row["d"] or 0)
             stats["kept_buckets"] = int(row["k"] or 0)
         stacked = counted.filter(F.col("_bc") <= bucket_cap).drop("_bc")
+    if not (bucket_cap is not None and stats is not None):
+        # the self-join reads stacked through TWO aliases — without a
+        # materialization the n_tables × hyperplane signature scan (the
+        # expensive stage) runs once per side; in stats mode `counted` is
+        # already checkpointed above and the per-side filter is cheap
+        stacked = stacked.localCheckpoint(eager=True)
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(
@@ -659,8 +665,20 @@ def embedding_near_dups_banded(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+        # referenced three times below (id prune + both verify sides)
+        .localCheckpoint(eager=True)
     )
-    vecs = df.select(F.col(id_col), F.col(vec_col))
+    # cosine verify, candidate-pruned (same shape as the text verify in
+    # minhash_near_dups): semi-join the vector table down to candidate-
+    # touched ids so only candidate vectors ever move into the join
+    ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    vecs = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(ids, id_col, "left_semi")
+        .localCheckpoint(eager=True)  # consumed by both pair sides
+    )
     pairs = (
         cand.join(
             vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")),
