@@ -64,6 +64,13 @@ HEADLINE = [
     "docs_vocab_topk",
     "docs_incremental_dedup",
     "embedding_quantize",
+    # production hash backend (xxhash64) — what a real 100-TB run uses; the
+    # md5 twins above exist for DuckDB oracle bit-parity and stay listed so
+    # the backend gap is visible in every BENCH artifact
+    "docs_minhash_sig_prod",
+    "docs_minhash_pairs_prod",
+    "docs_simhash_prod",
+    "docs_incremental_dedup_prod",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

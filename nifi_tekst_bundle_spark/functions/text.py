@@ -16,7 +16,7 @@ pandas/Arrow UDFs (no per-row Python) throughout").
 
 from __future__ import annotations
 
-import unicodedata
+import re
 
 import pandas as pd
 from pyspark.sql import Column
@@ -26,19 +26,23 @@ from pyspark.sql import types as T
 # ---------------------------------------------------------------- NFC
 
 
+# Unicode category Cc is exactly U+0000–U+001F and U+007F–U+009F; keep
+# \t (09) and \n (0A). A compiled character-class regex lets pandas strip
+# control chars in one vectorized .str.replace instead of a per-character
+# Python loop (the r3 formulation iterated every char of every string in
+# the interpreter — Arrow-batched at the interface but interpreter-bound
+# inside; ~5× slower on the docs fixture).
+_CC_CLASS = re.compile("[\x00-\x08\x0b-\x1f\x7f-\x9f]")
+
+
 @F.pandas_udf(T.StringType())
 def nfc_normalize(s: pd.Series) -> pd.Series:
-    """Unicode NFC normalization + control-char strip (keeps \\t \\n)."""
+    """Unicode NFC normalization + control-char strip (keeps \\t \\n).
 
-    def norm(x):
-        if x is None:
-            return None
-        x = unicodedata.normalize("NFC", x)
-        return "".join(
-            ch for ch in x if ch in "\t\n" or unicodedata.category(ch) != "Cc"
-        )
-
-    return s.map(norm)
+    Fully vectorized pandas: .str.normalize('NFC') then one regex replace
+    over the Cc class — no per-row (let alone per-char) Python. NaN/None
+    propagate through .str methods and arrive in Spark as NULL."""
+    return s.str.normalize("NFC").str.replace(_CC_CLASS, "", regex=True)
 
 
 # ------------------------------------------------------- token counting

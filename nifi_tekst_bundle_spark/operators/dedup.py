@@ -12,8 +12,23 @@ that idea to document-level dedup at corpus scale:
   radius via band-rotation buckets
 - n-gram Jaccard verification of LSH candidates
 
-All hashing is md5-prefix based (F.md5 → first 15 hex chars → bigint) so a
-SQL oracle (DuckDB) can reproduce values bit-for-bit.
+Hash backends (``hash_mode``): every signature operator accepts
+``hash_mode='production'`` (default) or ``'oracle'``.
+
+- ``production`` hashes with Spark's native ``xxhash64`` — one JVM
+  intrinsic per token/shingle, ~an order of magnitude cheaper than md5.
+  At 100 TB the per-shingle hash is the dominant constant factor of every
+  signature operator, so this is the mode a real pipeline runs.
+- ``oracle`` hashes with an md5-prefix (F.md5 → first 15 hex chars →
+  bigint) that a SQL oracle (DuckDB) reproduces bit-for-bit:
+  ``('0x' || substr(md5(x),1,15))::INT64``. Used by the driver-checked
+  CORRECTNESS queries, where signature VALUES (not just decisions) are
+  hash-compared against DuckDB.
+
+Both modes produce the same PLAN shape (narrow fold, no shuffle) and — on
+the test fixture — the same near-dup *decisions* after Jaccard verify
+(pinned by tests/test_dedup_similarity.py::test_hash_modes_agree_on_decisions);
+only the signature bit patterns differ.
 """
 
 from __future__ import annotations
@@ -21,10 +36,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+HASH_MODES = ("production", "oracle")
 
-def hash64(col: F.Column) -> F.Column:
-    """Deterministic 60-bit hash reproducible in ANSI SQL:
-    conv(substr(md5(x),1,15),16,10)."""
+
+def _check_mode(hash_mode: str) -> None:
+    if hash_mode not in HASH_MODES:
+        raise ValueError(
+            f"hash_mode must be one of {HASH_MODES}, got {hash_mode!r}"
+        )
+
+
+def hash64(col: F.Column, hash_mode: str = "oracle") -> F.Column:
+    """Deterministic 64-bit token hash.
+
+    oracle: 60-bit md5 prefix reproducible in ANSI SQL as
+    conv(substr(md5(x),1,15),16,10). production: native xxhash64
+    (seed 42 — Spark's default), full 64 bits, JVM intrinsic."""
+    _check_mode(hash_mode)
+    if hash_mode == "production":
+        return F.xxhash64(col)
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
 
 
@@ -88,7 +118,8 @@ def mh_consts(i: int) -> tuple[int, int]:
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, k: int = 3,
+    hash_mode: str = "production",
 ) -> DataFrame:
     """One row per doc: minhash_0..n-1 columns.
 
@@ -112,9 +143,15 @@ def minhash_signature(
     shingle per index). LSH bucket health is unchanged: at sf0.1 with
     n_hashes=4/n_bands=2 the band buckets max out at 8 docs, 705 candidate
     pairs total — the Carter-Wegman family is not degenerate.
+
+    ``hash_mode='production'`` (default) hashes shingles with xxhash64
+    (pmod-reduced into [0, P) — pmod, not %, because xxhash64 is signed);
+    ``'oracle'`` uses the md5-prefix hash DuckDB reproduces bit-for-bit.
+    Same plan, same mix constants; only the base-hash values differ.
     """
+    _check_mode(hash_mode)
     sh = word_shingles(F.col(text_col), k)
-    base = F.transform(sh, lambda s: hash64(s) % MH_P)
+    base = F.transform(sh, lambda s: F.pmod(hash64(s, hash_mode), F.lit(MH_P)))
     hb = df.select(F.col(id_col), base.alias("_mh_base"))
     def _mix(a: int, b: int):
         # separate factory: pyspark infers the HOF arity from the lambda's
@@ -134,25 +171,53 @@ def minhash_signature(
 
 
 def lsh_bands(
-    sig: DataFrame, id_col: str, n_hashes: int = 16, n_bands: int = 4
+    sig: DataFrame, id_col: str, n_hashes: int = 16, n_bands: int = 4,
+    hash_mode: str = "production",
 ) -> DataFrame:
-    """Band signatures: band_id ∈ [0, n_bands), band_hash = md5 of the
-    band's minhashes. Docs sharing (band_id, band_hash) are candidates."""
+    """Band signatures: band_id ∈ [0, n_bands), band_hash = hash of the
+    band's minhashes (md5 hex in oracle mode, xxhash64-as-string in
+    production). Docs sharing (band_id, band_hash) are candidates."""
+    _check_mode(hash_mode)
     rows = n_hashes // n_bands
     bands = []
     for b in range(n_bands):
         cols = [F.col(f"minhash_{b * rows + r}") for r in range(rows)]
+        joined = F.concat_ws("|", *[c.cast("string") for c in cols])
+        bh = (
+            F.xxhash64(joined).cast("string")
+            if hash_mode == "production"
+            else F.md5(joined)
+        )
         bands.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])).alias(
-                    "band_hash"
-                ),
-            )
+            F.struct(F.lit(b).alias("band_id"), bh.alias("band_hash"))
         )
     return sig.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def _maybe_ckpt(df: DataFrame, materialize: bool) -> DataFrame:
+    """Gate for the intra-operator materialization points (ADVICE r3).
+
+    ``materialize=True`` localCheckpoints (eager): multiply-referenced
+    intermediates (band tables, candidate pairs) compute ONCE instead of
+    once per reference — the right call when the result is consumed
+    immediately and fully (the catalog queries and bench do this). The
+    costs: (a) the operator triggers Spark jobs at COMPOSITION time, so
+    explain-only callers pay real execution and downstream filters can no
+    longer prune the checkpointed stages; (b) localCheckpoint blocks are
+    executor-local and non-replicated — under executor loss or dynamic
+    allocation the lineage is gone and the job fails unrecoverably.
+
+    ``materialize=False`` (the default) keeps the plan fully lazy and
+    declarative: composition is free, Catalyst sees the whole tree, and
+    recovery/decommissioning work normally — at the price of recomputing
+    the shared stages once per reference (2-3× for these operators). On a
+    real cluster, callers wanting single-computation without the
+    executor-loss caveat should persist(MEMORY_AND_DISK) the RESULT and
+    unpersist at their own action boundary instead.
+    """
+    return df.localCheckpoint(eager=True) if materialize else df
 
 
 def minhash_near_dups(
@@ -163,25 +228,31 @@ def minhash_near_dups(
     n_bands: int = 4,
     jaccard_threshold: float = 0.7,
     k: int = 3,
+    hash_mode: str = "production",
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate pairs from LSH buckets, verified by exact n-gram Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b. The verification join
     only touches docs that co-bucket — at corpus scale the candidate set is
     ~linear in corpus size for reasonable band settings.
+
+    ``materialize`` — see :func:`_maybe_ckpt`: True computes each shared
+    stage once (eager, executor-local blocks), False stays lazy.
     """
-    sig = minhash_signature(df, id_col, text_col, n_hashes, k)
-    # Materialize the band table before the self-join: Catalyst does not
-    # reuse the exchange across the two aliased sides (verified: 0
-    # ReusedExchange in the executed plan), so without this the whole
-    # shingle→md5→minhash pipeline — the expensive narrow stage — runs
-    # TWICE, once per side. The band table is 2 tiny columns × n_bands
-    # rows per doc; localCheckpoint (not persist) so the blocks are
-    # released by the context cleaner when the DataFrame goes out of
+    _check_mode(hash_mode)
+    sig = minhash_signature(df, id_col, text_col, n_hashes, k, hash_mode)
+    # Materialize the band table before the self-join (materialize=True):
+    # Catalyst does not reuse the exchange across the two aliased sides
+    # (verified: 0 ReusedExchange in the executed plan), so without this
+    # the whole shingle→hash→minhash pipeline — the expensive narrow
+    # stage — runs TWICE, once per side. The band table is 2 tiny columns
+    # × n_bands rows per doc; localCheckpoint (not persist) so the blocks
+    # are released by the context cleaner when the DataFrame goes out of
     # scope rather than pinning executor storage until an unpersist
     # nobody downstream is positioned to call.
-    bands = lsh_bands(sig, id_col, n_hashes, n_bands).localCheckpoint(
-        eager=True
+    bands = _maybe_ckpt(
+        lsh_bands(sig, id_col, n_hashes, n_bands, hash_mode), materialize
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -196,10 +267,10 @@ def minhash_near_dups(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
-        # referenced three times below (id extraction + both verify sides);
-        # without the checkpoint each reference re-runs the band self-join
-        .localCheckpoint(eager=True)
     )
+    # referenced three times below (id extraction + both verify sides);
+    # without the checkpoint each reference re-runs the band self-join
+    cand = _maybe_ckpt(cand, materialize)
     # Verify stage, candidate-pruned: semi-join the corpus down to docs
     # that appear in some candidate pair, shingle each such doc ONCE, then
     # join the (small) shingled table onto both pair sides. This moves
@@ -211,13 +282,13 @@ def minhash_near_dups(
     ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
-    raw_cand = (
+    raw_cand = _maybe_ckpt(
         df.select(F.col(id_col), F.col(text_col))
         .join(ids, id_col, "left_semi")
         .withColumn("_sh", word_shingles(F.col(text_col), k))
-        .select(F.col(id_col), "_sh")
+        .select(F.col(id_col), "_sh"),
         # consumed by both pair sides; bounded by candidate-doc count
-        .localCheckpoint(eager=True)
+        materialize,
     )
     j = (
         cand.join(
@@ -245,20 +316,31 @@ def minhash_near_dups(
 
 def dedup_clusters(
     pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 25, hops_per_round: int = 2,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (node, label)
     where ``label`` is the minimum id reachable through pairs — the
     cluster id a dedup pipeline keeps ONE representative per.
 
-    Iterative min-label propagation: each round is one equi-join (labels
-    flow one hop) plus a min-aggregation; converges in graph-diameter
-    rounds, which for near-dup clusters is tiny (they are dense blobs, not
-    long chains). Every round ends in localCheckpoint so the plan stays
-    constant-size, and the driver-side convergence probe (limit(1) on
-    changed labels) is O(1) rows. At corpus scale each round shuffles the
-    edge list once on node id — the standard large-graph CC shape
-    (label propagation, no driver-side graph materialization).
+    Iterative min-label propagation: each hop is one equi-join (labels
+    flow one edge) plus a min-aggregation; converges in graph-diameter
+    hops, which for near-dup clusters is tiny (they are dense blobs, not
+    long chains). ``hops_per_round`` hops run between checkpoints, so a
+    round covers 2 hops for one materialization + one convergence probe —
+    half the jobs of the hop-per-round formulation on chain graphs. Every
+    round ends in localCheckpoint so the plan stays constant-size, and the
+    driver-side convergence probe (limit(1) on changed labels) is O(1)
+    rows. At corpus scale each hop shuffles the edge list once on node id
+    — the standard large-graph CC shape (label propagation, no driver-side
+    graph materialization).
+
+    INHERENTLY EAGER: the convergence loop must run Spark jobs (the probe
+    is an action), so calling this triggers execution — there is no lazy
+    form of an iterate-until-converged algorithm. The checkpoint blocks
+    are executor-local and non-replicated; under executor loss or dynamic
+    allocation a round can fail unrecoverably — on a real cluster set
+    spark.dynamicAllocation.enabled=false for the CC stage or swap the
+    localCheckpoints for reliable checkpoint(…) against the cluster FS.
     """
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
@@ -275,18 +357,26 @@ def dedup_clusters(
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    # empty edge set → empty labels; skip the loop (and its per-round jobs)
+    if und.isEmpty():
+        return labels
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        prop = und.join(
-            labels.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), "label")
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        new_labels = labels
+        for _h in range(hops_per_round):
+            prop = und.join(
+                new_labels.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "label")
+            new_labels = (
+                new_labels.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        # if hops_per_round hops changed nothing, one hop would have
+        # changed nothing either (labels are monotonically non-increasing)
+        # — so this probe detects exactly the usual fixpoint
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -299,11 +389,12 @@ def dedup_clusters(
             return labels
     # silent non-convergence would return WRONG cluster ids (and diverge
     # from the recursive-CTE oracle) — fail loudly instead; near-dup
-    # components with diameter > max_iter mean either pathological data
-    # or a too-small max_iter
+    # components with diameter > max_iter*hops_per_round mean either
+    # pathological data or a too-small max_iter
     raise RuntimeError(
-        f"dedup_clusters did not converge within {max_iter} iterations; "
-        "a component's diameter exceeds max_iter — raise max_iter"
+        f"dedup_clusters did not converge within {max_iter} rounds of "
+        f"{hops_per_round} hops; a component's diameter exceeds "
+        "max_iter*hops_per_round — raise max_iter"
     )
 
 
@@ -319,6 +410,8 @@ def incremental_near_dups(
     n_bands: int = 2,
     jaccard_threshold: float = 0.5,
     k: int = 3,
+    hash_mode: str = "production",
+    materialize: bool = False,
 ) -> DataFrame:
     """Novelty filter for continuous ingest: classify each ``incoming`` doc
     against the existing ``corpus`` WITHOUT re-deduplicating the corpus.
@@ -343,14 +436,31 @@ def incremental_near_dups(
       corpus doc whose verified k-gram Jaccard >= threshold; match_id =
       the best match (highest jaccard, ties to lowest corpus id).
     - verdict='novel': neither — the doc a training pipeline keeps.
+    - verdict='invalid': the incoming doc's text is NULL. A NULL can never
+      match anything (md5(NULL)=NULL, shingles of NULL=NULL), so without
+      this verdict a caller feeding raw micro-batches would keep null docs
+      as 'novel' training data (ADVICE r3); route 'invalid' rows to a dead
+      letter instead. match_id and jaccard are NULL.
+
+    ``hash_mode``/``materialize``: see module docstring / _maybe_ckpt.
     """
+    _check_mode(hash_mode)
     ic = F.col(id_col)
-    # exact twins: one hash equi-join, lowest corpus id per incoming doc
-    in_h = incoming.select(
-        ic.alias("_in_id"), F.md5(F.col(text_col).cast("binary")).alias("_h")
+    # null-text rows never enter the signature pipelines (wasted hashing,
+    # and every downstream join would drop them anyway)
+    incoming_t = incoming.filter(F.col(text_col).isNotNull())
+    corpus_t = corpus.filter(F.col(text_col).isNotNull())
+    exact_hash = (
+        (lambda c: F.xxhash64(c).cast("string"))
+        if hash_mode == "production"
+        else (lambda c: F.md5(c.cast("binary")))
     )
-    co_h = corpus.select(
-        ic.alias("_co_id"), F.md5(F.col(text_col).cast("binary")).alias("_h")
+    # exact twins: one hash equi-join, lowest corpus id per incoming doc
+    in_h = incoming_t.select(
+        ic.alias("_in_id"), exact_hash(F.col(text_col)).alias("_h")
+    )
+    co_h = corpus_t.select(
+        ic.alias("_co_id"), exact_hash(F.col(text_col)).alias("_h")
     )
     exact = (
         in_h.join(co_h, "_h")
@@ -359,32 +469,32 @@ def incremental_near_dups(
     )
 
     # LSH candidates: incoming bands ⋈ corpus bands on (band_id, band_hash)
-    in_sig = minhash_signature(incoming, id_col, text_col, n_hashes, k)
-    co_sig = minhash_signature(corpus, id_col, text_col, n_hashes, k)
-    in_bands = lsh_bands(in_sig, id_col, n_hashes, n_bands).select(
+    in_sig = minhash_signature(incoming_t, id_col, text_col, n_hashes, k, hash_mode)
+    co_sig = minhash_signature(corpus_t, id_col, text_col, n_hashes, k, hash_mode)
+    in_bands = lsh_bands(in_sig, id_col, n_hashes, n_bands, hash_mode).select(
         F.col(id_col).alias("_in_id"), "band_id", "band_hash"
     )
-    co_bands = lsh_bands(co_sig, id_col, n_hashes, n_bands).select(
+    co_bands = lsh_bands(co_sig, id_col, n_hashes, n_bands, hash_mode).select(
         F.col(id_col).alias("_co_id"), "band_id", "band_hash"
     )
-    cand = (
+    cand = _maybe_ckpt(
         in_bands.join(co_bands, ["band_id", "band_hash"])
         .select("_in_id", "_co_id")
-        .distinct()
+        .distinct(),
         # referenced three times (both id prunes + the verify join)
-        .localCheckpoint(eager=True)
+        materialize,
     )
     # verify candidates only, candidate-pruned like minhash_near_dups:
     # semi-join each side down to candidate-touched docs, shingle each doc
     # ONCE, join the small shingled tables onto the pairs — only candidate
     # text ever moves
     in_sh = (
-        incoming.select(ic.alias("_in_id"), F.col(text_col).alias("_t"))
+        incoming_t.select(ic.alias("_in_id"), F.col(text_col).alias("_t"))
         .join(cand.select("_in_id").distinct(), "_in_id", "left_semi")
         .select("_in_id", word_shingles(F.col("_t"), k).alias("_sh_in"))
     )
     co_sh = (
-        corpus.select(ic.alias("_co_id"), F.col(text_col).alias("_t"))
+        corpus_t.select(ic.alias("_co_id"), F.col(text_col).alias("_t"))
         .join(cand.select("_co_id").distinct(), "_co_id", "left_semi")
         .select("_co_id", word_shingles(F.col("_t"), k).alias("_sh_co"))
     )
@@ -413,13 +523,16 @@ def incremental_near_dups(
                 F.col("_jac").alias("near_jaccard"))
     )
 
-    base = incoming.select(ic.alias("_in_id"))
+    base = incoming.select(
+        ic.alias("_in_id"), F.col(text_col).isNull().alias("_null_text")
+    )
     out = (
         base.join(exact, "_in_id", "left")
         .join(near, "_in_id", "left")
         .select(
             F.col("_in_id").alias(id_col),
-            F.when(F.col("exact_match_id").isNotNull(), F.lit("exact"))
+            F.when(F.col("_null_text"), F.lit("invalid"))
+            .when(F.col("exact_match_id").isNotNull(), F.lit("exact"))
             .when(F.col("near_match_id").isNotNull(), F.lit("near"))
             .otherwise(F.lit("novel"))
             .alias("verdict"),
@@ -439,13 +552,20 @@ def incremental_near_dups(
 # ------------------------------------------------------------ simhash
 
 
-# SQL fragment computing hash64 of lambda variable `t` (identical to the
+# SQL fragments computing hash64 of lambda variable `t` (identical to the
 # hash64() Column builder above — kept in SQL form for use inside
-# higher-order-function lambdas)
-_HASH64_SQL = "CAST(conv(substr(md5(CAST(t AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+# higher-order-function lambdas). oracle: md5-prefix, DuckDB-reproducible;
+# production: native xxhash64 intrinsic (the 100-TB mode — md5 per token
+# was the dominant constant factor of the signature scan).
+_HASH64_SQL = {
+    "oracle": "CAST(conv(substr(md5(CAST(t AS BINARY)), 1, 15), 16, 10) AS BIGINT)",
+    "production": "xxhash64(t)",
+}
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, hash_mode: str = "production"
+) -> DataFrame:
     """64-bit SimHash per doc: per-token 60-bit hashes, sign-summed per bit.
 
     Pure narrow projection — the sign-sum folds over the row's own token
@@ -466,13 +586,19 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     NULL-text rows are dropped (the fold yields a NULL simhash), matching
     the explode→groupBy formulation and the SQL oracle's unnest, both of
     which never emit a group for a NULL token array.
+
+    ``hash_mode='production'`` (default) hashes tokens with xxhash64;
+    ``'oracle'`` with the DuckDB-reproducible md5 prefix. Sign bits use
+    token-hash bits 0..59 in both modes (xxhash64 is signed 64-bit but
+    shiftright+mask extracts low bits identically).
     """
+    _check_mode(hash_mode)
     expr = F.expr(
         f"""
       aggregate(
         transform(
           aggregate(
-            transform(split(lower(trim({text_col})), '\\\\s+'), t -> {_HASH64_SQL}),
+            transform(split(lower(trim({text_col})), '\\\\s+'), t -> {_HASH64_SQL[hash_mode]}),
             array_repeat(CAST(0 AS BIGINT), 60),
             (acc, h) -> transform(acc, (a, b) ->
               a + CASE WHEN shiftright(h, CAST(b AS INT)) & 1 = 1
@@ -491,11 +617,12 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4
+    df: DataFrame, id_col: str, text_col: str, n_bands: int = 4,
+    hash_mode: str = "production",
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any 15-bit simhash band (catches
     Hamming distance < n_bands by pigeonhole)."""
-    sim = simhash64(df, id_col, text_col)
+    sim = simhash64(df, id_col, text_col, hash_mode)
     width = 60 // n_bands
     bands = sim.select(
         F.col(id_col),
@@ -574,6 +701,7 @@ def embedding_near_dups_banded(
     bucket_cap: int | None = None,
     stats: dict | None = None,
     dims: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Banded (multi-table) hyperplane LSH near-dup — the 100 TB path.
 
@@ -594,6 +722,13 @@ def embedding_near_dups_banded(
     (table_id, sig) covers both the window count and the self-join;
     candidate pairs dedupe before the vector join, so each pair's cosine
     is computed once.
+
+    ``materialize`` — see :func:`_maybe_ckpt`: True computes each shared
+    stage once via eager localCheckpoint (executor-local blocks; explain-
+    only callers pay real execution), False stays lazy and recomputes the
+    signature scan once per self-join side. Passing ``stats`` is itself an
+    eager request (the kept/dropped counts are an action), so the bucketed
+    scan is always checkpointed in that mode regardless of ``materialize``.
     """
     from .similarity import cosine, hyperplane_signature
 
@@ -634,7 +769,7 @@ def embedding_near_dups_banded(
             # persist here would pin the scan in executor storage until an
             # unpersist nobody downstream is positioned to call (repeated
             # calls — bench trials — would accumulate cached copies)
-            counted = counted.localCheckpoint(eager=True)
+            counted = counted.localCheckpoint(eager=True)  # stats ⇒ eager
             row = (
                 counted.select("table_id", "sig", "_bc")
                 .distinct()
@@ -652,7 +787,7 @@ def embedding_near_dups_banded(
         # materialization the n_tables × hyperplane signature scan (the
         # expensive stage) runs once per side; in stats mode `counted` is
         # already checkpointed above and the per-side filter is cheap
-        stacked = stacked.localCheckpoint(eager=True)
+        stacked = _maybe_ckpt(stacked, materialize)
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(
@@ -665,19 +800,18 @@ def embedding_near_dups_banded(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
-        # referenced three times below (id prune + both verify sides)
-        .localCheckpoint(eager=True)
     )
+    # referenced three times below (id prune + both verify sides)
+    cand = _maybe_ckpt(cand, materialize)
     # cosine verify, candidate-pruned (same shape as the text verify in
     # minhash_near_dups): semi-join the vector table down to candidate-
     # touched ids so only candidate vectors ever move into the join
     ids = cand.select(
         F.explode(F.array("id_a", "id_b")).alias(id_col)
     ).distinct()
-    vecs = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .join(ids, id_col, "left_semi")
-        .localCheckpoint(eager=True)  # consumed by both pair sides
+    vecs = _maybe_ckpt(
+        df.select(F.col(id_col), F.col(vec_col)).join(ids, id_col, "left_semi"),
+        materialize,  # consumed by both pair sides
     )
     pairs = (
         cand.join(
@@ -695,3 +829,90 @@ def embedding_near_dups_banded(
         )
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+# ------------------------------------------------------- span-level dedup
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_docs: int = 2,
+    hash_mode: str = "production",
+) -> DataFrame:
+    """Substring/paragraph-level dedup: find word spans REPEATED ACROSS
+    documents — the training-data step that removes boilerplate paragraphs
+    and cross-crawl duplicated passages that doc-level dedup (exact /
+    MinHash / SimHash) cannot see because the host documents differ.
+
+    Returns one row per maximal duplicated span:
+      (id, span_start, span_end, n_grams)
+    where span_start/span_end are 0-based word indices (inclusive) and
+    n_grams counts the duplicated k-grams merged into the span. A caller
+    removes spans with a word-level slice; docs shorter than k words have
+    no k-grams and never appear.
+
+    Algorithm (the distributed analogue of suffix-array repeated-substring
+    removal, on word k-gram granularity):
+      1. per doc, hash every word k-gram ONCE (narrow projection — one
+         hash per gram, positions via posexplode);
+      2. grams appearing in >= min_docs DISTINCT docs are duplicated —
+         two map-side-combinable aggregations on the gram hash, the only
+         cross-doc shuffle;
+      3. per doc, semi-join keeps positions whose gram is duplicated, and
+         one window pass (partitioned by doc — second and last shuffle)
+         merges overlapping gram intervals [p, p+k-1] into maximal spans:
+         a gap > k between consecutive duplicated positions breaks a span.
+
+    At 100 TB: step 2 shuffles one (hash, id) pair per gram — bounded by
+    corpus token count, partial-aggregated map-side; nothing is ever
+    self-joined and no candidate set is quadratic. The gram table is
+    re-derived (cheap narrow hash) rather than checkpointed, so the
+    operator composes lazily.
+
+    Reference analogue: dedup-before-apply (RenameS3Utils.kt:52) lifted
+    from whole-item identity to intra-document spans.
+    """
+    _check_mode(hash_mode)
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+    )
+    gh_arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k), lambda i: hash64(gram(i), hash_mode)
+        ),
+    )  # docs shorter than k words -> NULL array -> posexplode drops them
+    grams = df.select(
+        F.col(id_col), F.posexplode(gh_arr).alias("pos", "_gh")
+    )
+    repeated = (
+        grams.select("_gh", id_col)
+        .distinct()  # within-doc repeats count once toward min_docs
+        .groupBy("_gh")
+        .count()
+        .filter(F.col("count") >= min_docs)
+        .select("_gh")
+    )
+    dup_pos = grams.join(repeated, "_gh", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos", 1).over(w) > k, F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = dup_pos.withColumn("_brk", brk).withColumn(
+        "_island",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("int").alias("span_end"),
+            F.count("*").cast("bigint").alias("n_grams"),
+        )
+        .drop("_island")
+    )

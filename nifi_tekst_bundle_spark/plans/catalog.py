@@ -1173,7 +1173,9 @@ def q_docs_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return dedup.minhash_signature(docs, "doc_id", "text", n_hashes=4, k=3)
+    return dedup.minhash_signature(
+        docs, "doc_id", "text", n_hashes=4, k=3, hash_mode="oracle"
+    )
 
 
 NGRAM_JACCARD_SQL = rf"""
@@ -1286,7 +1288,7 @@ def q_docs_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup.minhash_near_dups(
         docs, "doc_id", "text", n_hashes=4, n_bands=2,
-        jaccard_threshold=0.5, k=3,
+        jaccard_threshold=0.5, k=3, hash_mode="oracle", materialize=True,
     )
 
 
@@ -1360,7 +1362,7 @@ def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return dedup.simhash64(docs, "doc_id", "text")
+    return dedup.simhash64(docs, "doc_id", "text", hash_mode="oracle")
 
 
 # Multimodal plumbing under the oracle: documents' text bytes stand in for
@@ -1699,7 +1701,7 @@ def q_embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dups_banded(
         emb, "vec_id", "embedding", threshold=0.2,
         n_tables=4, planes_per_table=6, bucket_cap=12,
-        dims=_embedding_dims(emb),
+        dims=_embedding_dims(emb), materialize=True,
     )
 
 
@@ -2845,17 +2847,19 @@ near AS (
     FROM j WHERE jaccard >= {threshold}
   ) WHERE rn = 1
 )
-SELECT d.doc_id,
-  CASE WHEN e.exact_match_id IS NOT NULL THEN 'exact'
+SELECT i.doc_id,
+  CASE WHEN i.text IS NULL THEN 'invalid'
+       WHEN e.exact_match_id IS NOT NULL THEN 'exact'
        WHEN n.near_match_id IS NOT NULL THEN 'near'
        ELSE 'novel' END AS verdict,
-  CASE WHEN e.exact_match_id IS NOT NULL THEN e.exact_match_id
+  CASE WHEN i.text IS NULL THEN NULL
+       WHEN e.exact_match_id IS NOT NULL THEN e.exact_match_id
        ELSE n.near_match_id END AS match_id,
-  CASE WHEN e.exact_match_id IS NULL THEN n.near_jaccard END AS jaccard
-FROM d
-LEFT JOIN exact e ON e.doc_id = d.doc_id
-LEFT JOIN near n ON n.in_id = d.doc_id
-WHERE d.doc_id % 5 = 0
+  CASE WHEN i.text IS NULL THEN NULL
+       WHEN e.exact_match_id IS NULL THEN n.near_jaccard END AS jaccard
+FROM (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0) i
+LEFT JOIN exact e ON e.doc_id = i.doc_id
+LEFT JOIN near n ON n.in_id = i.doc_id
 """
 
 
@@ -2868,10 +2872,11 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the already-ingested corpus as exact / near / novel. The corpus is only
     touched through two equi-joins (exact hash, LSH band table) — at 100 TB
     those are precomputed signature tables and the incoming epoch is the
-    broadcast-eligible small side. See dedup.incremental_near_dups."""
+    broadcast-eligible small side. Null-text incoming rows get
+    verdict='invalid' (dead-letter route) rather than leaking out as
+    'novel' — ADVICE r3. See dedup.incremental_near_dups."""
     docs = (
         _read(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
         # spread the single-file test scan before per-doc hashing/shingling
         .repartition(spark.sparkContext.defaultParallelism)
     )
@@ -2880,6 +2885,7 @@ def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_near_dups(
         corpus, incoming, "doc_id", "text",
         n_hashes=4, n_bands=2, jaccard_threshold=0.5, k=3,
+        hash_mode="oracle", materialize=True,
     )
 
 
@@ -2908,13 +2914,19 @@ SELECT vec_id, string_agg(CAST(qi AS VARCHAR), '|' ORDER BY i) AS qvec
 FROM q GROUP BY vec_id
 """
 
-EMB_DIMS = 64
-
-
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
+    # dims probed from the data (one-row action), not hardcoded — a fixture
+    # with a different width would otherwise silently drop dims beyond the
+    # constant (or error under ANSI element_at on shorter vectors) and
+    # diverge from the oracle's unnest, which handles any width (ADVICE r3).
+    # Ragged widths still fail loudly: ANSI element_at errors on a vector
+    # shorter than the probed width instead of quantizing a truncation.
+    dims = _embedding_dims(emb)
+    if dims is None:
+        raise ValueError("embedding_quantize: no non-null embeddings to probe dims")
     e = emb.select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("x"),
@@ -2925,13 +2937,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row stats)
     mm = e.agg(
         F.array(
-            *[F.min(F.element_at("x", i + 1)) for i in range(EMB_DIMS)]
+            *[F.min(F.element_at("x", i + 1)) for i in range(dims)]
         ).alias("mns"),
         F.array(
             *[
                 F.max(F.element_at("x", i + 1))
                 - F.min(F.element_at("x", i + 1))
-                for i in range(EMB_DIMS)
+                for i in range(dims)
             ]
         ).alias("rngs"),
     )
@@ -2976,6 +2988,120 @@ def q_docs_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("n_chars", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def _span_dedup_sql(k: int = 3, min_docs: int = 2) -> str:
+    # Mirrors dedup.span_dedup: hash every word k-gram (md5-prefix hash,
+    # bit-identical to hash_mode='oracle'), grams in >= min_docs distinct
+    # docs are duplicated, then gap-and-island merges overlapping gram
+    # intervals [p, p+k-1] per doc (break when the gap exceeds k).
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id,
+    list_transform(range(len(words) - {k - 1}), i -> {_shingle_concat_sql(k)}) AS grams
+  FROM base WHERE len(words) >= {k}
+),
+g AS (
+  SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos,
+    ('0x' || substr(md5(unnest(grams)), 1, 15))::INT64 AS gh
+  FROM sh
+),
+rep AS (
+  SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g)
+  GROUP BY gh HAVING count(*) >= {min_docs}
+),
+d AS (SELECT g.doc_id, g.pos FROM g JOIN rep USING (gh)),
+i AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+         THEN 1 ELSE 0 END AS brk
+  FROM d
+),
+isl AS (
+  SELECT doc_id, pos,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS island
+  FROM i
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + {k - 1} AS INT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+"""
+
+
+DOCS_SPAN_DEDUP_SQL = _span_dedup_sql()
+
+
+def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN detection (paragraph/substring-level
+    dedup) — doc-level dedup can't see a boilerplate paragraph shared by
+    otherwise-distinct documents; this emits the exact word spans to cut.
+    Two shuffles total (gram-hash agg, per-doc window); the gram table is
+    linear in corpus tokens and nothing self-joins. See dedup.span_dedup."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return dedup.span_dedup(
+        docs, "doc_id", "text", k=3, min_docs=2, hash_mode="oracle"
+    )
+
+
+# --------------------------------------------------------------------------
+# production-hash variants: the same signature pipelines with the xxhash64
+# backend — the mode a 100-TB run uses (md5 exists only for DuckDB bit
+# parity; it was the dominant constant factor of every signature scan).
+# Registered WITHOUT oracle SQL: DuckDB has no xxhash64, so the driver
+# records the weaker rows-only check; value-level correctness of the
+# identical plans is covered by the md5-mode rows above, and mode-agreement
+# on near-dup DECISIONS is pinned by
+# tests/test_dedup_similarity.py::test_hash_modes_agree_on_decisions.
+# --------------------------------------------------------------------------
+
+
+def q_docs_minhash_sig_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup.minhash_signature(
+        docs, "doc_id", "text", n_hashes=4, k=3, hash_mode="production"
+    )
+
+
+def q_docs_minhash_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup.minhash_near_dups(
+        docs, "doc_id", "text", n_hashes=4, n_bands=2,
+        jaccard_threshold=0.5, k=3, hash_mode="production", materialize=True,
+    )
+
+
+def q_docs_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup.simhash64(docs, "doc_id", "text", hash_mode="production")
+
+
+def q_docs_incremental_dedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_near_dups(
+        corpus, incoming, "doc_id", "text",
+        n_hashes=4, n_bands=2, jaccard_threshold=0.5, k=3,
+        hash_mode="production", materialize=True,
     )
 
 
@@ -3046,6 +3172,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_incremental_dedup": q_docs_incremental_dedup,
     "embedding_quantize": q_embedding_quantize,
     "docs_length_percentiles": q_docs_length_percentiles,
+    "docs_span_dedup": q_docs_span_dedup,
+    # production-hash variants (xxhash64 backend; rows-only driver check —
+    # DuckDB cannot reproduce xxhash64, see the section comment above)
+    "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
+    "docs_minhash_pairs_prod": q_docs_minhash_pairs_prod,
+    "docs_simhash_prod": q_docs_simhash_prod,
+    "docs_incremental_dedup_prod": q_docs_incremental_dedup_prod,
 }
 
 ORACLES: dict[str, str] = {
@@ -3111,4 +3244,5 @@ ORACLES: dict[str, str] = {
     "docs_incremental_dedup": DOCS_INCREMENTAL_DEDUP_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "docs_length_percentiles": DOCS_LENGTH_PERCENTILES_SQL,
+    "docs_span_dedup": DOCS_SPAN_DEDUP_SQL,
 }

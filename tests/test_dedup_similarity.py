@@ -60,15 +60,30 @@ def test_simhash_near_dups(spark):
         (1, "alpha beta gamma delta epsilon zeta eta theta"),
         (2, "alpha beta gamma delta epsilon zeta eta iota"),
         (3, "one two three four five six seven eight"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),  # == doc 1
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    sim = dedup.simhash64(df, "doc_id", "text").collect()
-    assert len({r["simhash"] for r in sim}) >= 2
-    cands = {
+    for mode in dedup.HASH_MODES:
+        sim = dedup.simhash64(df, "doc_id", "text", hash_mode=mode).collect()
+        assert len({r["simhash"] for r in sim}) >= 2
+        cands = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.simhash_near_dups(
+                df, "doc_id", "text", hash_mode=mode
+            ).collect()
+        }
+        # identical text ⇒ identical simhash ⇒ candidate, in ANY hash mode
+        assert (1, 4) in cands
+    # the 1-of-8-token near case banding under the md5 family (historical
+    # fixture behavior; with 8 tokens the sign margins are thin, so which
+    # near-misses band-collide legitimately varies by hash family)
+    oracle_cands = {
         (r["id_a"], r["id_b"])
-        for r in dedup.simhash_near_dups(df, "doc_id", "text").collect()
+        for r in dedup.simhash_near_dups(
+            df, "doc_id", "text", hash_mode="oracle"
+        ).collect()
     }
-    assert (1, 2) in cands
+    assert (1, 2) in oracle_cands
 
 
 def test_brute_force_topk_self_is_best(spark, embs):
@@ -185,8 +200,13 @@ def test_incremental_near_dups_verdicts(spark):
     )
     out = {
         r["doc_id"]: (r["verdict"], r["match_id"], r["jaccard"])
+        # oracle hash family pinned: the 'near' doc's true Jaccard is ~0.54,
+        # so its band collision at n_hashes=4/n_bands=2 (P≈J²/band) is
+        # family-dependent luck on a doc this small; the verdict MAPPING
+        # being tested here is hash-independent
         for r in dedup.incremental_near_dups(
-            corpus, incoming, "doc_id", "text", jaccard_threshold=0.3
+            corpus, incoming, "doc_id", "text", jaccard_threshold=0.3,
+            hash_mode="oracle",
         ).collect()
     }
     assert out[10][0] == "exact" and out[10][1] == 1 and out[10][2] is None
@@ -201,6 +221,107 @@ def test_incremental_near_dups_never_self_joins_corpus(spark, docs):
     out = dedup.incremental_near_dups(corpus, incoming, "doc_id", "text")
     ids = [r["doc_id"] for r in out.select("doc_id").collect()]
     assert all(i % 5 == 0 for i in ids)
-    assert len(ids) == len(set(ids)) == incoming.filter(
-        F.col("text").isNotNull()
-    ).count()
+    # every incoming row gets exactly one verdict (null-text ones 'invalid')
+    assert len(ids) == len(set(ids)) == incoming.count()
+
+
+def test_incremental_null_text_is_invalid_not_novel(spark):
+    """ADVICE r3: a null-text incoming doc must not leak out as 'novel'
+    training data — it gets the dead-letterable 'invalid' verdict."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, None)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, None), (20, "totally fresh words nobody wrote before")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["verdict"], r["match_id"], r["jaccard"])
+        for r in dedup.incremental_near_dups(
+            corpus, incoming, "doc_id", "text"
+        ).collect()
+    }
+    assert out[10] == ("invalid", None, None)
+    assert out[20][0] == "novel"
+
+
+def test_hash_modes_agree_on_decisions(spark, docs):
+    """The xxhash64 production backend and the md5 oracle backend must make
+    the same near-dup DECISIONS on the fixture: identical verified pair
+    sets (Jaccard verify is hash-independent; only LSH candidate recall
+    could differ) and identical incremental verdicts."""
+    kw = dict(n_hashes=4, n_bands=2, jaccard_threshold=0.5, k=3)
+    pair_sets = {}
+    for mode in dedup.HASH_MODES:
+        pairs = dedup.minhash_near_dups(
+            docs, "doc_id", "text", hash_mode=mode, materialize=True, **kw
+        )
+        pair_sets[mode] = {
+            (r["id_a"], r["id_b"], r["jaccard"]) for r in pairs.collect()
+        }
+    assert pair_sets["production"] == pair_sets["oracle"]
+    assert len(pair_sets["oracle"]) > 0  # the comparison is not vacuous
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    incoming = docs.filter(F.col("doc_id") % 5 == 0)
+    verdicts = {}
+    for mode in dedup.HASH_MODES:
+        out = dedup.incremental_near_dups(
+            corpus, incoming, "doc_id", "text", hash_mode=mode,
+            materialize=True, **kw
+        )
+        verdicts[mode] = {
+            r["doc_id"]: (r["verdict"], r["match_id"], r["jaccard"])
+            for r in out.collect()
+        }
+    assert verdicts["production"] == verdicts["oracle"]
+
+
+def test_hash_mode_validation():
+    with pytest.raises(ValueError, match="hash_mode"):
+        dedup.hash64(F.lit("x"), hash_mode="md5")
+
+
+def test_span_dedup_detects_cross_doc_paragraph(spark):
+    """A paragraph duplicated across two otherwise-different docs is
+    detected as an exact word span in each host doc; unique text never
+    enters a span; docs with no shared grams are absent — in BOTH hash
+    modes (span decisions are exact, not probabilistic)."""
+    boiler = "subscribe to our newsletter for updates and exclusive offers today"
+    rows = [
+        (1, "unique alpha words one " + boiler + " trailing unique beta content"),
+        (2, boiler + " totally different tail text here"),
+        (3, "no shared content at all in this document whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for mode in dedup.HASH_MODES:
+        spans = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+            for r in dedup.span_dedup(
+                df, "doc_id", "text", k=3, min_docs=2, hash_mode=mode
+            ).collect()
+        }
+        # boiler is 10 words: doc1 hosts it at word 4..13, doc2 at 0..9;
+        # 8 duplicated 3-grams each; unique pre/post text stays outside
+        assert spans == {1: (4, 13, 8), 2: (0, 9, 8)}
+
+
+def test_span_dedup_merges_nearby_and_skips_short_docs(spark):
+    rows = [
+        (1, "aa bb cc dd ee ff gg hh ii jj"),
+        (2, "aa bb cc dd xx ff gg hh ii yy"),  # two shared runs, gap <= k
+        (3, "aa bb"),  # shorter than k: no grams, never appears
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.span_dedup(df, "doc_id", "text", k=3, min_docs=2)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    # duplicated grams: 'aa bb cc'/'bb cc dd' (pos 0,1) and
+    # 'ff gg hh'/'gg hh ii' (pos 5,6): gap 5-1=4 > k=3 ⇒ two spans
+    assert sorted(spans[1]) == [(0, 3), (5, 8)]
+    assert sorted(spans[2]) == [(0, 3), (5, 8)]
+    assert 3 not in spans
