@@ -21,9 +21,12 @@ DuckDB oracle can build the identical document string.
 from __future__ import annotations
 
 import re
+import xml.etree.ElementTree as ET
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 _STEP = re.compile(r"^(?P<axis>@?)(?:(?P<ns>[\w.-]+):)?(?P<name>[\w.-]+)$")
@@ -108,3 +111,86 @@ def xml_escape_attr(col: Column) -> Column:
     """Attribute-value escaping: element escaping plus the double quote
     (values are emitted inside double-quoted attributes)."""
     return F.replace(xml_escape(col), F.lit('"'), F.lit("&quot;"))
+
+
+# ------------------------------------------------- render-validation gate
+
+
+@F.pandas_udf(T.BooleanType())
+def xml_well_formed(s: pd.Series) -> pd.Series:
+    """True iff the string parses as XML — the pre-flight Spark's Hive
+    xpath UDFs need (they THROW on malformed input, failing the whole
+    job, verified on Spark 4). Arrow-batched pandas UDF; the per-document
+    parse is inherent to validation (the reference's XsdValidator also
+    DOM-parses every document, XsdValidator.kt:281-318)."""
+
+    def ok(x):
+        if x is None:
+            return False
+        try:
+            ET.fromstring(x)
+            return True
+        except ET.ParseError:
+            return False
+
+    return s.map(ok)
+
+
+def validate_rendered(
+    df,
+    doc_col: str = "doc",
+    version_col: str = "version",
+    conv_col: str = "conv_id",
+    n_turns_col: str = "n_turns",
+):
+    """Schema-contract gate between render and emit — the engine's form of
+    the reference's XSD validation of every generated METS before write
+    (CreateMetsBrowsing.kt:292-300, XsdValidator.kt:281-318): a rendered
+    document that violates its version's contract must never reach the
+    sink; it routes to a dead letter with a reason instead.
+
+    Contracts:
+    - version 2 (XML): well-formed; exactly one <conv> root; root @id
+      equals the row's conv_id; <t> count equals n_turns; exactly one
+      <stats>.
+    - version 1 (text): starts with 'DOC v1 ' and carries a chars= footer.
+
+    Returns (valid_df, dead_df); dead rows keep (conv_col, version, doc,
+    reason). Well-formedness gates the xpath assertions per row (CASE
+    branches evaluate lazily), so malformed documents are routed, never
+    thrown on. Plan shape: one narrow projection per row — validation
+    adds no shuffle.
+    """
+    d = F.col(doc_col)
+    v2 = F.col(version_col) == 2
+    wf = xml_well_formed(d)
+    reason = (
+        F.when(d.isNull(), F.lit("null_render"))
+        .when(v2 & ~wf, F.lit("malformed_xml"))
+        .when(v2 & (xpath_count(d, "/conv") != 1), F.lit("missing_root"))
+        .when(
+            v2 & (xpath_first(d, "/conv/@id") != F.col(conv_col)),
+            F.lit("id_mismatch"),
+        )
+        .when(
+            v2 & (xpath_count(d, "/conv/t") != F.col(n_turns_col)),
+            F.lit("turn_count_mismatch"),
+        )
+        .when(v2 & (xpath_count(d, "/conv/stats") != 1), F.lit("missing_stats"))
+        .when(
+            ~v2
+            & ~(d.startswith("DOC v1 ") & d.contains("\nchars=")),
+            F.lit("bad_v1_header"),
+        )
+    )
+    flagged = df.withColumn("_render_reason", reason)
+    valid = flagged.filter(F.col("_render_reason").isNull()).drop(
+        "_render_reason"
+    )
+    dead = flagged.filter(F.col("_render_reason").isNotNull()).select(
+        F.col(conv_col),
+        F.col(version_col),
+        d.alias("doc"),
+        F.col("_render_reason").alias("reason"),
+    )
+    return valid, dead

@@ -13,10 +13,13 @@ Decode strategy (degrades gracefully, never hard-fails at import):
   (('0x' || substr(md5(payload), 1, 2))::INT is digest byte 0), so the
   whole mapInPandas pipeline gets a driver-checked CORRECTNESS row
   (catalog.q_media_features);
-- ``decode_stub=False`` → real decode via optional imports, probed at
-  module load: PIL for images when installed; otherwise the decode call
-  raises NotImplementedError naming the missing library (audio/video
-  would need librosa/ffmpeg — not present in this environment).
+- ``decode_stub=False`` → real decode. Images go through PIL when it is
+  installed (optional import, probed at module load); without PIL a
+  built-in pure-python header decoder handles PNG (IHDR) and BMP
+  (BITMAPINFOHEADER) — real bytes, real dimensions, zero dependencies.
+  Audio decodes WAV headers (RIFF/fmt/data → sample-frame count) the same
+  way. Video (and unrecognized image/audio formats) raises
+  NotImplementedError naming what is needed (ffmpeg) — loud, not silent.
 """
 
 from __future__ import annotations
@@ -60,16 +63,78 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png(payload: bytes):
+    """Width/height from a PNG's IHDR chunk (always the first chunk per
+    the PNG spec) — an 8-byte magic + 4-byte length + 'IHDR' + two
+    big-endian uint32s. Pure header read; no pixel decode."""
+    if len(payload) < 24 or payload[:8] != _PNG_MAGIC or payload[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(payload[16:20], "big")
+    h = int.from_bytes(payload[20:24], "big")
+    return (w, h, 1) if w > 0 and h > 0 else None
+
+
+def _parse_bmp(payload: bytes):
+    """Width/height from a BMP BITMAPINFOHEADER (int32 LE at offsets
+    18/22; height may be negative for top-down rows)."""
+    if len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    return (w, h, 1) if w > 0 and h > 0 else None
+
+
+def _parse_wav(payload: bytes):
+    """(channels as width, sample-rate/1000 as height, sample frames) from
+    a RIFF/WAVE header: walk chunks for 'fmt ' (channels, rate, block
+    align) and 'data' (byte size → frame count)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, channels, rate, block_align, n_frames = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if cid == b"fmt " and pos + 16 <= len(payload):
+            channels = int.from_bytes(payload[pos + 10:pos + 12], "little")
+            rate = int.from_bytes(payload[pos + 12:pos + 16], "little")
+            block_align = int.from_bytes(payload[pos + 20:pos + 22], "little")
+        elif cid == b"data" and block_align:
+            n_frames = size // block_align
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels and rate:
+        return channels, rate // 1000, n_frames or 0
+    return None
+
+
 def _decode_real(kind: str, payload: bytes):
-    """Real decode via optional libraries. Images decode through PIL when
-    it is installed; everything else (or a missing library) raises a
-    NotImplementedError naming what is needed — loud, not silent."""
-    if kind == "image" and HAVE_PIL:
-        img = _PILImage.open(io.BytesIO(payload or b""))
-        return img.width, img.height, 1
-    missing = "PIL" if kind == "image" else "librosa/ffmpeg"
+    """Real decode. Images: PIL when installed, else the pure-python
+    PNG/BMP header decoders; audio: WAV header walk. Anything else (or an
+    unrecognized byte layout) raises a NotImplementedError naming what is
+    needed — loud, not silent."""
+    if kind == "image":
+        if HAVE_PIL:
+            img = _PILImage.open(io.BytesIO(payload or b""))
+            return img.width, img.height, 1
+        parsed = _parse_png(payload or b"") or _parse_bmp(payload or b"")
+        if parsed:
+            return parsed
+        raise NotImplementedError(
+            "real image decode: payload is neither PNG nor BMP and PIL is "
+            "not installed; run with decode_stub=True for the plumbing path"
+        )
+    if kind == "audio":
+        parsed = _parse_wav(payload or b"")
+        if parsed:
+            return parsed
+        raise NotImplementedError(
+            "real audio decode: payload is not RIFF/WAVE (other codecs "
+            "need librosa/ffmpeg, which is not installed)"
+        )
     raise NotImplementedError(
-        f"real {kind} decode requires {missing}, which is not installed; "
+        f"real {kind} decode requires ffmpeg, which is not installed; "
         "run with decode_stub=True for the deterministic plumbing path"
     )
 

@@ -239,3 +239,162 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "cos", "rank")
     )
+
+
+# --------------------------------------------------------- k-means IVF
+
+
+KM_QUANT = 1_000_000  # centroid-mean quantizer (exact integer sums)
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic, RNG-free Lloyd k-means over an embedding column —
+    the learned-pivot upgrade of ivf_topk's stride pivots (cell balance on
+    clustered real embeddings is what stride pivots lack).
+
+    Replayable by construction, no RNG state anywhere:
+    - init: the n_centroids corpus vectors with the smallest
+      md5(str(id)) (ties by id) — data-dependent yet hash-seeded;
+    - assignment: argmax cosine against centroid LITERALS (a pure narrow
+      fold per row — no shuffle, no per-round join), ties to lowest cid;
+    - update: per-dimension mean via EXACT integer sums
+      (floor(x*1e6 + 0.5) as long) — associative + commutative, so the
+      result is bit-identical regardless of partition order, and a SQL
+      oracle reproduces every centroid double exactly (sum/ (n*1e6.0) is
+      one IEEE division of exact integers on both engines);
+    - a cell that loses all members is dropped (deterministic rule).
+
+    Each round is one narrow projection + one map-side-combinable groupBy
+    of n_centroids × dims longs — the standard distributed Lloyd shape; the
+    driver only ever holds the centroid matrix (n_centroids × dims).
+    """
+    spark = corpus.sparkSession
+    init_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string").cast("binary")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init_rows)
+    ]
+    if not cents:
+        raise ValueError("kmeans_centroids: empty corpus")
+    dims = len(cents[0][1])
+    for _ in range(n_iter):
+        asg = corpus.select(
+            F.col(vec_col).alias("_v"),
+            _argmax_centroid(F.col(vec_col), cents).alias("cid"),
+        )
+        stats = asg.groupBy("cid").agg(
+            F.count("*").alias("_n"),
+            *[
+                F.sum(
+                    F.floor(
+                        F.element_at("_v", d + 1) * F.lit(KM_QUANT) + F.lit(0.5)
+                    ).cast("long")
+                ).alias(f"_s{d}")
+                for d in range(dims)
+            ],
+        )
+        rows = stats.collect()  # n_centroids rows of dims longs — bounded
+        cents = sorted(
+            (
+                int(r["cid"]),
+                [r[f"_s{d}"] / (r["_n"] * float(KM_QUANT)) for d in range(dims)],
+            )
+            for r in rows
+        )
+    return cents
+
+
+def _argmax_centroid(
+    vec: F.Column, cents: list[tuple[int, list[float]]]
+) -> F.Column:
+    """cid of the max-cosine centroid (ties to lowest cid), as a pure
+    narrow fold: one literal dot product per centroid, argmax via
+    greatest() over (cos, -cid) structs — no join, no shuffle."""
+    scored = []
+    for cid, cvec in cents:
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        scored.append(
+            F.struct(
+                cosine(vec, lit).alias("c"),
+                F.lit(-cid).cast("long").alias("nc"),
+            )
+        )
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return (-best.getField("nc")).cast("int")
+
+
+def _probe_centroids(
+    vec: F.Column, cents: list[tuple[int, list[float]]], n_probe: int
+) -> F.Column:
+    """Array of the n_probe nearest centroid cids (cos desc, cid asc) —
+    the query-side cell probe, same narrow-literal form as assignment."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("c"),
+                F.lit(-cid).cast("long").alias("nc"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    top = F.slice(F.sort_array(scored, asc=False), 1, n_probe)
+    return F.transform(top, lambda s: (-s.getField("nc")).cast("int"))
+
+
+def kmeans_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF ANN over LEARNED (deterministic k-means) cells — the production
+    variant of ivf_topk (VERDICT r3 #5). Dataflow identical to ivf_topk:
+    corpus vectors join their cell, queries probe their n_probe nearest
+    cells, exact cosine top-k runs inside probed cells only. Differences:
+    cells come from kmeans_centroids (balanced on clustered data), and
+    both assignment and probing are narrow literal folds (the per-round
+    cross join of the stride variant is gone), so the only shuffle left
+    is the final per-query window — bounded by queries × probed-cell size.
+    """
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iter)
+    cells = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _argmax_centroid(F.col(vec_col), cents).alias("cid"),
+    )
+    probes = queries.select(
+        F.col(qid_col),
+        F.col(qvec_col),
+        F.explode(
+            _probe_centroids(F.col(qvec_col), cents, n_probe)
+        ).alias("cid"),
+    )
+    scored = cells.join(F.broadcast(probes), "cid").select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cos", "rank")
+    )

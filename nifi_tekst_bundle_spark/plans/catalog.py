@@ -1545,6 +1545,111 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_ivf_sql(
+    n_centroids: int = 8, n_iter: int = 2, n_probe: int = 2, k: int = 5,
+    quant: int = 1_000_000,
+) -> str:
+    """DuckDB replica of similarity.kmeans_ivf_topk — the fixed-iteration
+    Lloyd loop UNROLLED into a generated CTE chain (c0 → a1/s1/c1 → …).
+    Bit-for-bit reproducible because the engine was designed for it:
+    hash-seeded init (md5 order), centroid means from exact integer sums
+    (floor(x*q + 0.5) longs — associative, partition-order-independent),
+    and cosine folds evaluated in the same sequential order on both
+    engines, so every assignment comparison sees identical doubles."""
+    cos = (
+        _DOT.format(a="{v}", b="{c}")
+        + " / (" + _NRM.format(a="{v}") + " * " + _NRM.format(a="{c}") + ")"
+    )
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+c0 AS (
+  SELECT cid, cvec FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+           v AS cvec
+    FROM e
+  ) WHERE cid < {n_centroids}
+)"""]
+    for t in range(1, n_iter + 1):
+        acos = cos.format(v="e.v", c="c.cvec")
+        parts.append(f""",
+a{t} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {acos} DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN c{t - 1} c
+  ) WHERE rn = 1
+),
+s{t} AS (
+  SELECT cid, i, sum(CAST(floor(x * {quant} + 0.5) AS BIGINT)) AS sx,
+         count(*) AS n
+  FROM (SELECT cid, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM a{t})
+  GROUP BY cid, i
+),
+c{t} AS (
+  SELECT cid, list(sx / (n * {quant}.0) ORDER BY i) AS cvec
+  FROM s{t} GROUP BY cid
+)""")
+    fcos = cos.format(v="e.v", c="c.cvec")
+    qcos = cos.format(v="q.qv", c="c.cvec")
+    scos = cos.format(v="s.v", c="p.qv")
+    parts.append(f""",
+cells AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {fcos} DESC, c.cid ASC) AS rn
+    FROM e CROSS JOIN c{n_iter} c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+      row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {qcos} DESC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{n_iter} c
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, s.vec_id, round({scos}, 6) AS cos
+  FROM cells s JOIN probes p ON p.cid = s.cid
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {k}
+""")
+    return "".join(parts)
+
+
+IVF_KMEANS_TOPK_SQL = _kmeans_ivf_sql()
+
+
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over learned (deterministic Lloyd) cells — the production
+    pivot variant: balanced cells on clustered embeddings, assignment and
+    probing as narrow literal folds, the per-query window as the only
+    shuffle. See similarity.kmeans_ivf_topk."""
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.kmeans_ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_iter=2, n_probe=2
+    )
+
+
 EMBEDDING_NORMS_SQL = f"""
 SELECT vec_id,
   len(embedding) AS dims,
@@ -1901,11 +2006,26 @@ def q_conv_document_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('" chars="'), chars.cast("string"), F.lit('"/></conv>'),
     )
     doc = F.when(version == 2, render_v2).otherwise(render_v1)
-    return agg.select(
+    rendered = agg.select(
         "conv_id",
         version.alias("version"),
         n_turns.alias("n_turns"),
-        F.md5(doc.cast("binary")).alias("doc_md5"),
+        doc.alias("doc"),
+    )
+    # render-validation gate between render and emit (U5 completion — the
+    # reference XSD-validates every generated METS before write,
+    # CreateMetsBrowsing.kt:292-300): contract violations dead-letter
+    # instead of reaching the sink. On well-formed fixture data the gate
+    # passes everything, so the oracle row is unchanged; the routing path
+    # is proven by tests/test_round4_features.py with injected corruption.
+    from ..functions import xml as xf
+
+    valid, _dead = xf.validate_rendered(rendered)
+    return valid.select(
+        "conv_id",
+        "version",
+        "n_turns",
+        F.md5(F.col("doc").cast("binary")).alias("doc_md5"),
     )
 
 
@@ -2267,6 +2387,60 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("session_end").cast("timestamp_ltz").cast("double"), 6
         ).alias("session_end_s"),
         "duration_s",
+    )
+
+
+# Native session windows (streaming/sessions.session_window_metrics run in
+# batch mode — identical operator, identical semantics) under the oracle.
+# Spark's session window is [first_event, last_event + gap): an event at
+# EXACTLY last+gap starts a new session, so the oracle's island break is
+# `diff >= gap`, not `>`. Complements events_sessionize, which oracle-checks
+# the lag+cumsum formulation; this row checks F.session_window itself —
+# previously the streaming session operators were pytest-only (VERDICT r3).
+SESSION_WINDOWS_SQL = """
+WITH e AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL),
+i AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts)) >= 1800
+         THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+isl AS (
+  SELECT user_id, ts,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS island
+  FROM i
+)
+SELECT user_id,
+  round(epoch(min(ts)), 6) AS session_start_s,
+  round(epoch(max(ts)) + 1800.0, 6) AS session_end_s,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM isl GROUP BY user_id, island
+"""
+
+
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window gap sessions over the batch events table — the
+    batch-mode run of the streaming operator (streaming/sessions.py:36),
+    which makes the native session-window semantics oracle-checkable.
+    One shuffle on the group key; merging happens inside the aggregation."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        ev.groupBy(
+            "user_id", F.session_window(F.col("ts"), "30 minutes").alias("win")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.round(
+                F.col("win.start").cast("timestamp_ltz").cast("double"), 6
+            ).alias("session_start_s"),
+            F.round(
+                F.col("win.end").cast("timestamp_ltz").cast("double"), 6
+            ).alias("session_end_s"),
+            "n_events",
+        )
     )
 
 
@@ -3149,6 +3323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_kmeans_topk": q_ivf_kmeans_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_banded": q_embedding_neardup_banded,
     "embedding_norms": q_embedding_norms,
@@ -3161,6 +3336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_top_word_ratio": q_docs_top_word_ratio,
     "cdc_debezium_roundtrip": q_cdc_debezium_roundtrip,
     "events_sessionize": q_events_sessionize,
+    "events_session_windows": q_events_session_windows,
     "events_asof_join": q_events_asof_join,
     "docs_contamination": q_docs_contamination,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -3221,6 +3397,7 @@ ORACLES: dict[str, str] = {
     "ann_topk": ANN_TOPK_SQL,
     "lsh_topk": LSH_TOPK_SQL,
     "ivf_topk": IVF_TOPK_SQL,
+    "ivf_kmeans_topk": IVF_KMEANS_TOPK_SQL,
     "embedding_neardup": EMB_NEARDUP_SQL,
     "embedding_neardup_banded": EMB_NEARDUP_BANDED_SQL,
     "embedding_norms": EMBEDDING_NORMS_SQL,
@@ -3233,6 +3410,7 @@ ORACLES: dict[str, str] = {
     "docs_top_word_ratio": DOCS_TOP_WORD_SQL,
     "cdc_debezium_roundtrip": CDC_FINAL_STATE_SQL,
     "events_sessionize": SESSIONIZE_SQL,
+    "events_session_windows": SESSION_WINDOWS_SQL,
     "events_asof_join": ASOF_SQL,
     "docs_contamination": CONTAMINATION_SQL,
     "docs_stratified_sample": STRATIFIED_SAMPLE_SQL,

@@ -1,0 +1,94 @@
+"""Round-4 feature tests: render-validation gate, session-window oracle
+query, k-means centroid determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nifi_tekst_bundle_spark.functions import xml as xf
+from nifi_tekst_bundle_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_render_validation_gate_routes_corrupt_documents(spark):
+    """Injected corrupt renders must dead-letter with the right reason;
+    contract-clean documents pass untouched — the XSD-before-write gate
+    of the reference (CreateMetsBrowsing.kt:292-300) on rendered output."""
+    rows = [
+        # valid v2
+        ("c1", 2, 2, '<conv id="c1" v="2" turns="2"><t i="0" r="u">a</t>'
+                     '<t i="1" r="a">b</t><stats tool_turns="0" chars="2"/></conv>'),
+        # malformed XML (unclosed root)
+        ("c2", 2, 1, '<conv id="c2" v="2" turns="1"><t i="0" r="u">a</t>'),
+        # well-formed but wrong root element
+        ("c3", 2, 1, '<wat id="c3"><t i="0"/></wat>'),
+        # root id does not match the row's conv_id
+        ("c4", 2, 1, '<conv id="OTHER"><t i="0" r="u">a</t>'
+                     '<stats tool_turns="0" chars="1"/></conv>'),
+        # turn count disagrees with n_turns
+        ("c5", 2, 3, '<conv id="c5"><t i="0" r="u">a</t>'
+                     '<stats tool_turns="0" chars="1"/></conv>'),
+        # missing <stats>
+        ("c6", 2, 1, '<conv id="c6"><t i="0" r="u">a</t></conv>'),
+        # valid v1
+        ("c7", 1, 1, "DOC v1 c7 turns=1\n[00001] u|a|\nchars=1"),
+        # v1 missing the header
+        ("c8", 1, 1, "garbage body"),
+        # null render
+        ("c9", 2, 1, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, version int, n_turns long, doc string"
+    )
+    valid, dead = xf.validate_rendered(df)
+    assert {r["conv_id"] for r in valid.collect()} == {"c1", "c7"}
+    reasons = {r["conv_id"]: r["reason"] for r in dead.collect()}
+    assert reasons == {
+        "c2": "malformed_xml",
+        "c3": "missing_root",
+        "c4": "id_mismatch",
+        "c5": "turn_count_mismatch",
+        "c6": "missing_stats",
+        "c8": "bad_v1_header",
+        "c9": "null_render",
+    }
+
+
+def test_conv_document_v2_gate_passes_fixture(spark):
+    """The gated query still emits every conversation on contract-clean
+    fixture data (the gate must not eat valid rows)."""
+    from nifi_tekst_bundle_spark.plans import catalog
+
+    out = catalog.q_conv_document_v2(spark, SF)
+    final = catalog.q_cdc_lww_final_state(spark, SF)
+    assert out.count() == final.select("conv_id").distinct().count()
+
+
+def test_kmeans_centroids_deterministic_and_balanced(spark):
+    """Same inputs ⇒ bit-identical centroids across runs (hash-seeded
+    init, exact integer-sum means); learned cells are usable: every
+    centroid keeps members and cell sizes are less skewed than worst-case."""
+    e = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    c1 = similarity.kmeans_centroids(e, n_centroids=6, n_iter=2)
+    c2 = similarity.kmeans_centroids(e, n_centroids=6, n_iter=2)
+    assert c1 == c2  # exact float equality — determinism by construction
+    assert 1 <= len(c1) <= 6
+    sizes = (
+        e.select(similarity._argmax_centroid(F.col("embedding"), c1).alias("cid"))
+        .groupBy("cid")
+        .count()
+        .collect()
+    )
+    assert len(sizes) == len(c1)  # no empty cells survive
+    counts = sorted(r["count"] for r in sizes)
+    assert counts[-1] < e.count()  # not everything in one cell
