@@ -64,6 +64,9 @@ HEADLINE = [
     "docs_vocab_topk",
     "docs_incremental_dedup",
     "embedding_quantize",
+    "docs_span_dedup",
+    "events_session_windows",
+    "ivf_kmeans_topk",
     # production hash backend (xxhash64) — what a real 100-TB run uses; the
     # md5 twins above exist for DuckDB oracle bit-parity and stay listed so
     # the backend gap is visible in every BENCH artifact
@@ -217,7 +220,15 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
     # upward relative to a symmetric protocol. Variance reduction comes
     # from raising RUNS for every config equally.
     rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
-    runs_per_session = int(os.environ.get("BENCH_SCALING_RUNS", "4"))
+    runs_per_session = int(os.environ.get("BENCH_SCALING_RUNS", "6"))
+    runs_supplementary = int(os.environ.get("BENCH_SCALING_RUNS_SUPP", "2"))
+    # The PRIMARY pair is the criterion: give BOTH of its configs more
+    # timed draws (6 vs 2) so each min gets closer to the quiet-window
+    # truth — symmetry stays per-PAIR, which is what the N→4N ratio needs
+    # (asymmetric draws within a pair would bias its ratio; across pairs
+    # there is no shared ratio to bias). The supplementary pair keeps
+    # enough draws to stay honest without doubling wall-clock.
+    primary_cores = set(pairs[0]) if pairs else set()
     for _ in range(rounds):
         for c in cores_list:
             spark = make_spark(c, parts=SCALING_PARTITIONS)
@@ -228,7 +239,11 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
                 # JIT + codegen + parquet-footer + page-cache costs that
                 # have nothing to do with core-count scaling
                 apply_from_disk(spark, ev_dir)
-                for _r in range(runs_per_session):
+                n_runs = (
+                    runs_per_session if c in primary_cores
+                    else runs_supplementary
+                )
+                for _r in range(n_runs):
                     times[c].append(apply_from_disk(spark, ev_dir))
             finally:
                 spark.stop()
@@ -240,12 +255,13 @@ def run_scaling(sf_dir: str, cpus: int) -> dict:
     cpu_best = {c: min(ts) for c, ts in cpu_times.items()}
     out: dict = {
         "events": n_events,
-        "trials": rounds * runs_per_session,
+        "trials": {str(c): len(times[c]) for c in cores_list},
         "configs": {},
     }
     for c in cores_list:
         out["configs"][str(c)] = {
             "cores": c,
+            "trials": len(times[c]),
             "seconds": round(best[c], 3),
             "events_per_sec": round(n_events / best[c], 1),
         }
@@ -304,8 +320,10 @@ def write_baseline_md(scaling: dict, queries: dict, sf_dir: str) -> None:
         f"logical plan ({SCALING_PARTITIONS} shuffle partitions, AQE on); each",
         "session does one full untimed warmup apply (JIT/codegen/page-cache),",
         "then timed trials. This sandbox is a shared VM with CPU-steal",
-        f"variance, so each config reports the MIN of {scaling['trials']}",
-        "interleaved trials.",
+        "variance, so each config reports the MIN of its interleaved trials",
+        f"(per-config draw counts: {scaling['trials']}; the primary pair's",
+        "configs get more draws — draw counts stay symmetric WITHIN each",
+        "pair, which is what its N→4N ratio needs).",
         "",
         "## North-rule scaling criterion (sandbox evidence)",
         "",

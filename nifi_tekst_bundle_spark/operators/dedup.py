@@ -916,3 +916,50 @@ def span_dedup(
         )
         .drop("_island")
     )
+
+
+def strip_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply :func:`span_dedup` output: cut the duplicated word spans out
+    of each document, producing the cleaned text a training pipeline keeps.
+
+    Returns (id, clean_text, n_removed). clean_text is whitespace-
+    normalized lowercase (the same normalization spans were computed
+    over — word indices only line up in that space); n_removed counts
+    words cut. Docs without spans pass through (normalized) with
+    n_removed = 0.
+
+    Plan: spans collapse to one small struct array per doc (collect_list
+    — order-insensitive, only existence is tested), LEFT-join onto the
+    corpus on id, then a pure narrow index-aware filter fold per row.
+    One shuffle (the join); at 100 TB the span side is a tiny fraction of
+    the corpus and broadcast-eligible.
+    """
+    sp = spans.groupBy(F.col(id_col)).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
+    )
+    j = df.select(F.col(id_col), F.col(text_col)).join(sp, id_col, "left")
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"), lambda s: (i >= s["s"]) & (i <= s["e"])
+    )
+    kept = F.filter(words, lambda w, i: ~covered(i))
+    cleaned = F.when(
+        F.col("_spans").isNull(), F.array_join(words, " ")
+    ).otherwise(F.array_join(kept, " "))
+    n_removed = F.when(F.col("_spans").isNull(), F.lit(0)).otherwise(
+        F.size(words) - F.size(kept)
+    )
+    return j.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        n_removed.cast("bigint").alias("n_removed"),
+    )

@@ -3212,6 +3212,51 @@ FROM isl GROUP BY doc_id, island
 DOCS_SPAN_DEDUP_SQL = _span_dedup_sql()
 
 
+# span application: cut the detected spans out of each doc. clean_text is
+# whitespace-normalized lowercase (the space span indices live in); DuckDB
+# list lambdas are 1-indexed, hence the i - 1. Spans embed as a WITH-in-CTE
+# subquery (the DOCS_DEDUP_CLUSTERS_SQL pattern).
+DOCS_SPAN_CLEAN_SQL = f"""
+WITH spans AS ({DOCS_SPAN_DEDUP_SQL}),
+sp AS (
+  SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS ss
+  FROM spans GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+j AS (
+  SELECT b.doc_id, b.words, sp.ss,
+    CASE WHEN sp.ss IS NULL THEN b.words
+         ELSE list_filter(b.words, (w, i) ->
+           NOT len(list_filter(sp.ss, s -> s.s <= i - 1 AND i - 1 <= s.e)) > 0)
+    END AS kept
+  FROM base b LEFT JOIN sp ON sp.doc_id = b.doc_id
+)
+SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS clean_text,
+       CAST(len(words) - len(kept) AS BIGINT) AS n_removed
+FROM j
+"""
+# ^ coalesce: DuckDB's array_to_string([]) is NULL, Spark's array_join([])
+#   is '' — a fully-removed doc must agree as the empty string
+
+
+def q_docs_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_dedup detection APPLIED: documents with their cross-doc
+    duplicated spans cut out — the end product of paragraph-level dedup.
+    See dedup.strip_spans."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    spans = dedup.span_dedup(
+        docs, "doc_id", "text", k=3, min_docs=2, hash_mode="oracle"
+    )
+    return dedup.strip_spans(docs, spans, "doc_id", "text")
+
+
 def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-SPAN detection (paragraph/substring-level
     dedup) — doc-level dedup can't see a boilerplate paragraph shared by
@@ -3349,6 +3394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "docs_length_percentiles": q_docs_length_percentiles,
     "docs_span_dedup": q_docs_span_dedup,
+    "docs_span_clean": q_docs_span_clean,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -3423,4 +3469,5 @@ ORACLES: dict[str, str] = {
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "docs_length_percentiles": DOCS_LENGTH_PERCENTILES_SQL,
     "docs_span_dedup": DOCS_SPAN_DEDUP_SQL,
+    "docs_span_clean": DOCS_SPAN_CLEAN_SQL,
 }

@@ -158,8 +158,16 @@ def test_new_round3_queries_stay_jvm_side(spark):
     ):
         plan = _plan(q(spark, SF))
         assert "BatchEvalPython" not in plan, q.__name__
-        assert "ArrowEvalPython" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
+        if q is catalog.q_conv_document_v2:
+            # the r4 render-validation gate adds exactly ONE deliberate
+            # Arrow stage: the well-formedness parse (Spark's JVM xpath
+            # THROWS on malformed XML, so parsing cannot be JVM-side);
+            # everything else — render, xpath assertions, md5 — stays JVM
+            assert plan.count("ArrowEvalPython") == 1, q.__name__
+            assert "xml_well_formed" in plan, q.__name__
+        else:
+            assert "ArrowEvalPython" not in plan, q.__name__
 
 
 def test_conv_document_v2_single_aggregation(spark):
