@@ -74,6 +74,7 @@ HEADLINE = [
     "docs_minhash_pairs_prod",
     "docs_simhash_prod",
     "docs_incremental_dedup_prod",
+    "docs_span_dedup_prod",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

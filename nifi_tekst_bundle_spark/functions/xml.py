@@ -136,6 +136,50 @@ def xml_well_formed(s: pd.Series) -> pd.Series:
     return s.map(ok)
 
 
+_XML_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("wf", T.BooleanType(), True),
+        T.StructField("root", T.StringType(), True),
+        T.StructField("root_id", T.StringType(), True),
+        T.StructField("n_t", T.LongType(), True),
+        T.StructField("n_stats", T.LongType(), True),
+    ]
+)
+
+
+@F.pandas_udf(_XML_PROBE_SCHEMA)
+def _xml_probe(s: pd.Series) -> pd.DataFrame:
+    """ONE parse per document extracting everything the contract checks
+    (well-formedness, root name, root @id, <t> and <stats> counts) — the
+    earlier formulation parsed once in Python and then four more times
+    inside Hive xpath calls. At sf0.1 the whole-query gain is modest
+    (2.58 s → 2.46 s; the upstream CDC register fold dominates there),
+    but parse count scales with DOCUMENT BYTES while the rest of the gate
+    is per-row constant work — at production document sizes one parse vs
+    five is the difference that matters."""
+
+    def probe(x):
+        if x is None:
+            return (None, None, None, None, None)
+        try:
+            root = ET.fromstring(x)
+        except ET.ParseError:
+            return (False, None, None, None, None)
+        return (
+            True,
+            root.tag,
+            root.get("id"),
+            sum(1 for c in root if c.tag == "t"),
+            sum(1 for c in root if c.tag == "stats"),
+        )
+
+    rows = s.map(probe)
+    return pd.DataFrame(
+        rows.tolist(), columns=["wf", "root", "root_id", "n_t", "n_stats"],
+        index=s.index,
+    )
+
+
 def validate_rendered(
     df,
     doc_col: str = "doc",
@@ -156,34 +200,40 @@ def validate_rendered(
     - version 1 (text): starts with 'DOC v1 ' and carries a chars= footer.
 
     Returns (valid_df, dead_df); dead rows keep (conv_col, version, doc,
-    reason). Well-formedness gates the xpath assertions per row (CASE
-    branches evaluate lazily), so malformed documents are routed, never
-    thrown on. Plan shape: one narrow projection per row — validation
-    adds no shuffle.
+    reason). All structural facts come from ONE Arrow-batched parse per
+    document (_xml_probe); the contract comparisons are JVM expressions
+    over the probe struct. Plan shape: one narrow projection per row —
+    validation adds no shuffle. (Spark's Hive xpath functions THROW on
+    malformed XML, so a probe-then-compare gate is also the only shape
+    that ROUTES bad documents instead of failing the job.)
     """
     d = F.col(doc_col)
     v2 = F.col(version_col) == 2
-    wf = xml_well_formed(d)
+    p = F.col("_probe")
     reason = (
         F.when(d.isNull(), F.lit("null_render"))
-        .when(v2 & ~wf, F.lit("malformed_xml"))
-        .when(v2 & (xpath_count(d, "/conv") != 1), F.lit("missing_root"))
+        .when(v2 & ~p["wf"], F.lit("malformed_xml"))
+        .when(v2 & (p["root"] != "conv"), F.lit("missing_root"))
         .when(
-            v2 & (xpath_first(d, "/conv/@id") != F.col(conv_col)),
+            v2 & ~p["root_id"].eqNullSafe(F.col(conv_col)),
             F.lit("id_mismatch"),
         )
         .when(
-            v2 & (xpath_count(d, "/conv/t") != F.col(n_turns_col)),
+            v2 & (p["n_t"] != F.col(n_turns_col)),
             F.lit("turn_count_mismatch"),
         )
-        .when(v2 & (xpath_count(d, "/conv/stats") != 1), F.lit("missing_stats"))
+        .when(v2 & (p["n_stats"] != 1), F.lit("missing_stats"))
         .when(
             ~v2
             & ~(d.startswith("DOC v1 ") & d.contains("\nchars=")),
             F.lit("bad_v1_header"),
         )
     )
-    flagged = df.withColumn("_render_reason", reason)
+    flagged = (
+        df.withColumn("_probe", _xml_probe(d))
+        .withColumn("_render_reason", reason)
+        .drop("_probe")
+    )
     valid = flagged.filter(F.col("_render_reason").isNull()).drop(
         "_render_reason"
     )

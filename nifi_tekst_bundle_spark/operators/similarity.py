@@ -314,21 +314,45 @@ def kmeans_centroids(
     return cents
 
 
+def _cent_norm(cvec: list[float]) -> float:
+    """Driver-side L2 norm with the SAME sequential fold order as the
+    engines' _NRM/norm() folds — Python floats are IEEE doubles, so the
+    result is bit-identical to what DuckDB computes for the same list."""
+    import math
+
+    acc = 0.0
+    for x in cvec:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _cent_score(vec: F.Column, cid: int, cvec: list[float]) -> F.Column:
+    """dot(vec, centroid)/||centroid|| — orders identically to cosine
+    (the row's ||vec|| is a shared positive factor), but skips BOTH norm
+    folds per (row, centroid): the centroid norm is a driver-side literal
+    and the row norm cancels out of the argmax. This shrank the argmax
+    expression ~2.6× (24 64-wide folds per row → 9) and, more decisively
+    on small data, the Catalyst/codegen tree that every k-means job
+    recompiles. The SQL oracle orders by the IDENTICAL scaled score, so
+    tie behavior cannot diverge (dividing by the row norm could round two
+    near-ties into equality on one engine only)."""
+    lit = F.array(*[F.lit(float(x)) for x in cvec])
+    return dot(vec, lit) / F.lit(_cent_norm(cvec))
+
+
 def _argmax_centroid(
     vec: F.Column, cents: list[tuple[int, list[float]]]
 ) -> F.Column:
-    """cid of the max-cosine centroid (ties to lowest cid), as a pure
+    """cid of the max-score centroid (ties to lowest cid), as a pure
     narrow fold: one literal dot product per centroid, argmax via
-    greatest() over (cos, -cid) structs — no join, no shuffle."""
-    scored = []
-    for cid, cvec in cents:
-        lit = F.array(*[F.lit(float(x)) for x in cvec])
-        scored.append(
-            F.struct(
-                cosine(vec, lit).alias("c"),
-                F.lit(-cid).cast("long").alias("nc"),
-            )
+    greatest() over (score, -cid) structs — no join, no shuffle."""
+    scored = [
+        F.struct(
+            _cent_score(vec, cid, cvec).alias("c"),
+            F.lit(-cid).cast("long").alias("nc"),
         )
+        for cid, cvec in cents
+    ]
     best = F.greatest(*scored) if len(scored) > 1 else scored[0]
     return (-best.getField("nc")).cast("int")
 
@@ -336,12 +360,12 @@ def _argmax_centroid(
 def _probe_centroids(
     vec: F.Column, cents: list[tuple[int, list[float]]], n_probe: int
 ) -> F.Column:
-    """Array of the n_probe nearest centroid cids (cos desc, cid asc) —
+    """Array of the n_probe nearest centroid cids (score desc, cid asc) —
     the query-side cell probe, same narrow-literal form as assignment."""
     scored = F.array(
         *[
             F.struct(
-                cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("c"),
+                _cent_score(vec, cid, cvec).alias("c"),
                 F.lit(-cid).cast("long").alias("nc"),
             )
             for cid, cvec in cents

@@ -1554,9 +1554,16 @@ def _kmeans_ivf_sql(
     Bit-for-bit reproducible because the engine was designed for it:
     hash-seeded init (md5 order), centroid means from exact integer sums
     (floor(x*q + 0.5) longs — associative, partition-order-independent),
-    and cosine folds evaluated in the same sequential order on both
-    engines, so every assignment comparison sees identical doubles."""
-    cos = (
+    and score folds evaluated in the same sequential order on both
+    engines, so every assignment comparison sees identical doubles.
+
+    Assignment/probe ordering uses dot/||centroid|| (NOT full cosine):
+    the row norm is a shared positive factor that cannot change the
+    argmax, and the engine skips it (similarity._cent_score) — the oracle
+    must order by the IDENTICAL expression or near-ties could round
+    differently. The final top-k output still reports full cosine."""
+    score = _DOT.format(a="{v}", b="{c}") + " / " + _NRM.format(a="{c}")
+    fullcos = (
         _DOT.format(a="{v}", b="{c}")
         + " / (" + _NRM.format(a="{v}") + " * " + _NRM.format(a="{c}") + ")"
     )
@@ -1573,7 +1580,7 @@ c0 AS (
   ) WHERE cid < {n_centroids}
 )"""]
     for t in range(1, n_iter + 1):
-        acos = cos.format(v="e.v", c="c.cvec")
+        acos = score.format(v="e.v", c="c.cvec")
         parts.append(f""",
 a{t} AS (
   SELECT vec_id, v, cid FROM (
@@ -1593,9 +1600,9 @@ c{t} AS (
   SELECT cid, list(sx / (n * {quant}.0) ORDER BY i) AS cvec
   FROM s{t} GROUP BY cid
 )""")
-    fcos = cos.format(v="e.v", c="c.cvec")
-    qcos = cos.format(v="q.qv", c="c.cvec")
-    scos = cos.format(v="s.v", c="p.qv")
+    fcos = score.format(v="e.v", c="c.cvec")
+    qcos = score.format(v="q.qv", c="c.cvec")
+    scos = fullcos.format(v="s.v", c="p.qv")
     parts.append(f""",
 cells AS (
   SELECT vec_id, v, cid FROM (
@@ -3311,6 +3318,17 @@ def q_docs_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(docs, "doc_id", "text", hash_mode="production")
 
 
+def q_docs_span_dedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return dedup.span_dedup(
+        docs, "doc_id", "text", k=3, min_docs=2, hash_mode="production"
+    )
+
+
 def q_docs_incremental_dedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
@@ -3401,6 +3419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_minhash_pairs_prod": q_docs_minhash_pairs_prod,
     "docs_simhash_prod": q_docs_simhash_prod,
     "docs_incremental_dedup_prod": q_docs_incremental_dedup_prod,
+    "docs_span_dedup_prod": q_docs_span_dedup_prod,
 }
 
 ORACLES: dict[str, str] = {

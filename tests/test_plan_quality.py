@@ -165,7 +165,7 @@ def test_new_round3_queries_stay_jvm_side(spark):
             # THROWS on malformed XML, so parsing cannot be JVM-side);
             # everything else — render, xpath assertions, md5 — stays JVM
             assert plan.count("ArrowEvalPython") == 1, q.__name__
-            assert "xml_well_formed" in plan, q.__name__
+            assert "_xml_probe" in plan, q.__name__
         else:
             assert "ArrowEvalPython" not in plan, q.__name__
 
