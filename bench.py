@@ -67,6 +67,8 @@ HEADLINE = [
     "docs_span_dedup",
     "events_session_windows",
     "ivf_kmeans_topk",
+    "docs_pack_sequences",
+    "docs_chunk_overlap",
     # production hash backend (xxhash64) — what a real 100-TB run uses; the
     # md5 twins above exist for DuckDB oracle bit-parity and stay listed so
     # the backend gap is visible in every BENCH artifact

@@ -34,23 +34,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def balanced_shards(
+def global_offsets(
     df: DataFrame,
     order_col: str,
     weight_col: str,
-    target_weight: int,
     ids_per_chunk: int = 4096,
-    out_col: str = "shard_id",
+    out_col: str = "_gofs",
 ) -> DataFrame:
-    """Add ``out_col``: the 0-based shard index under a running-total
-    packing of ``weight_col`` in ``order_col`` order.
-
-    ``order_col`` must be unique and non-negative (a doc id / lsn);
-    ``weight_col`` must be a non-negative integral weight. A shard may
-    overshoot ``target_weight`` by at most one row's weight — the same
-    greedy packing a single-threaded writer would produce, which is what
-    makes the result order-independent and oracle-checkable.
-    """
+    """Add ``out_col``: the EXCLUSIVE global running total of
+    ``weight_col`` in ``order_col`` order (row i's offset = sum of all
+    earlier rows' weights), via the distributed two-phase prefix sum
+    described in the module docstring. This is the shared engine under
+    both ``balanced_shards`` (shard = offset div target) and
+    ``pack_sequences`` (sequence = token-offset div context length)."""
     base = df.withColumn(
         "_chunk", F.floor(F.col(order_col) / F.lit(ids_per_chunk)).cast("long")
     )
@@ -69,11 +65,102 @@ def balanced_shards(
     cum_excl = F.sum(F.col(weight_col).cast("long")).over(w) - F.col(weight_col)
     return (
         base.join(F.broadcast(off_df), "_chunk")
+        .withColumn(out_col, (F.col("_offset") + cum_excl).cast("long"))
+        .drop("_chunk", "_offset")
+    )
+
+
+def balanced_shards(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    target_weight: int,
+    ids_per_chunk: int = 4096,
+    out_col: str = "shard_id",
+) -> DataFrame:
+    """Add ``out_col``: the 0-based shard index under a running-total
+    packing of ``weight_col`` in ``order_col`` order.
+
+    ``order_col`` must be unique and non-negative (a doc id / lsn);
+    ``weight_col`` must be a non-negative integral weight. A shard may
+    overshoot ``target_weight`` by at most one row's weight — the same
+    greedy packing a single-threaded writer would produce, which is what
+    makes the result order-independent and oracle-checkable.
+    """
+    return (
+        global_offsets(df, order_col, weight_col, ids_per_chunk)
         .withColumn(
             out_col,
-            F.floor((F.col("_offset") + cum_excl) / F.lit(target_weight)).cast(
-                "int"
-            ),
+            F.floor(F.col("_gofs") / F.lit(target_weight)).cast("int"),
         )
-        .drop("_chunk", "_offset")
+        .drop("_gofs")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    ctx_len: int,
+    ids_per_chunk: int = 4096,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the "pack the tokenized corpus
+    into fixed ``ctx_len``-token training sequences" step of an LLM data
+    pipeline: documents are concatenated in ``order_col`` order and the
+    token stream is cut every ``ctx_len`` tokens, so a document may span
+    several sequences and a sequence usually holds several documents (the
+    standard concat-then-chunk regime; no padding, no discarded tail
+    except the final partial sequence's slack).
+
+    Returns one row per (sequence, document) overlap:
+
+    - ``seq_id`` (int): 0-based index of the training sequence;
+    - ``order_col``: the document key;
+    - ``doc_tok_start`` / ``doc_tok_end`` (long): the half-open token
+      range OF THE DOCUMENT that lands in this sequence;
+    - ``seq_pos_start`` (long): where that slice begins INSIDE the
+      sequence;
+    - ``n_toks`` (long): slice length (= doc_tok_end - doc_tok_start).
+
+    Scale shape: the global token offset comes from ``global_offsets``
+    (two-phase distributed prefix sum — no single-partition window), and
+    everything after it is a narrow projection + one explode whose
+    fan-out per row is ceil(weight/ctx_len), i.e. proportional to output
+    size. Zero-weight rows produce no sequence rows. Reference analogue:
+    the ordered positional page layout of ReorderFiles.kt:132-136, lifted
+    from page-per-file to token-budget packing.
+    """
+    ctx = F.lit(int(ctx_len))
+    base = global_offsets(
+        df.filter(F.col(weight_col) > 0),
+        order_col,
+        weight_col,
+        ids_per_chunk,
+    ).select(
+        F.col(order_col),
+        F.col(weight_col).cast("long").alias("_n"),
+        F.col("_gofs").alias("_o"),
+    )
+    # a doc spanning tokens [o, o+n) touches sequences
+    # floor(o/ctx) .. floor((o+n-1)/ctx); integer DIV keeps the math in
+    # longs (no double rounding anywhere on the 10^10-token path)
+    first = F.expr(f"_o DIV {int(ctx_len)}")
+    last = F.expr(f"(_o + _n - 1) DIV {int(ctx_len)}")
+    out = base.select(
+        F.col(order_col),
+        "_n",
+        "_o",
+        F.explode(F.sequence(first, last)).alias("_seq"),
+    )
+    return out.select(
+        F.col("_seq").cast("int").alias("seq_id"),
+        F.col(order_col),
+        F.greatest(F.lit(0).cast("long"), F.col("_seq") * ctx - F.col("_o"))
+        .alias("doc_tok_start"),
+        F.least(F.col("_n"), (F.col("_seq") + 1) * ctx - F.col("_o"))
+        .alias("doc_tok_end"),
+        F.greatest(F.lit(0).cast("long"), F.col("_o") - F.col("_seq") * ctx)
+        .alias("seq_pos_start"),
+    ).withColumn(
+        "n_toks", F.col("doc_tok_end") - F.col("doc_tok_start")
     )

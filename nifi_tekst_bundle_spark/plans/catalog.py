@@ -3280,6 +3280,130 @@ def q_docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SEQUENCES_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                    w -> w <> '')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n,
+    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+         - n_tokens AS BIGINT) AS o
+  FROM t WHERE n_tokens > 0
+),
+s AS (
+  SELECT doc_id, n, o,
+    unnest(generate_series(o // 256, (o + n - 1) // 256)) AS seq_id
+  FROM c
+)
+SELECT CAST(seq_id AS INT) AS seq_id, doc_id,
+  CAST(greatest(0, seq_id * 256 - o) AS BIGINT) AS doc_tok_start,
+  CAST(least(n, (seq_id + 1) * 256 - o) AS BIGINT) AS doc_tok_end,
+  CAST(greatest(0, o - seq_id * 256) AS BIGINT) AS seq_pos_start,
+  CAST(least(n, (seq_id + 1) * 256 - o)
+       - greatest(0, seq_id * 256 - o) AS BIGINT) AS n_toks
+FROM s
+"""
+
+
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context training-sequence packing (concat-and-chunk): docs
+    are concatenated in doc_id order and the token stream is cut every
+    256 tokens — one row per (sequence, doc) overlap with exact token
+    spans on both sides. The oracle's single global window is exactly
+    what the engine must NOT do at 10^10 tokens; operators/shard.py's
+    pack_sequences runs the distributed two-phase prefix sum instead
+    (same machinery as docs_token_shards) and this row proves the two
+    formulations agree bit-for-bit, explode fan-out included."""
+    from ..operators import shard
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    t = docs.select(
+        "doc_id", F.size(words).cast("bigint").alias("n_tokens")
+    )
+    out = shard.pack_sequences(
+        t, "doc_id", "n_tokens", ctx_len=256, ids_per_chunk=64
+    )
+    return out.select(
+        "seq_id", "doc_id", "doc_tok_start", "doc_tok_end",
+        "seq_pos_start", "n_toks",
+    )
+
+
+CHUNK_OVERLAP_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+n AS (
+  SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n
+  FROM t WHERE len(words) > 0
+),
+s AS (
+  SELECT doc_id, words, n,
+    unnest(generate_series(0, n - 1, 48)) AS tok_start
+  FROM n
+)
+SELECT doc_id,
+  CAST(tok_start // 48 AS INT) AS chunk_idx,
+  CAST(tok_start AS BIGINT) AS tok_start,
+  CAST(least(64, n - tok_start) AS BIGINT) AS n_toks,
+  array_to_string(words[tok_start + 1 : tok_start + 64], ' ') AS chunk_text
+FROM s
+"""
+
+
+def q_docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / retrieval-index
+    prep step): every doc is cut into 64-token chunks at stride 48 (25%
+    overlap), emitting chunk index, token span, and the chunk text
+    itself. Pure narrow projection — tokenize once, one explode whose
+    fan-out is ceil(n/stride) (proportional to output), slice+join per
+    chunk, zero shuffle, so at 100 TB this runs at scan speed. Reference
+    analogue: the per-file page segmentation of ReorderFiles.kt:125-140,
+    re-expressed as in-row token windows."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    width, stride = 64, 48
+    d = (
+        docs.select("doc_id", words.alias("words"))
+        .withColumn("n", F.size("words").cast("long"))
+        .filter(F.col("n") > 0)
+    )
+    starts = F.sequence(
+        F.lit(0).cast("long"), F.col("n") - 1, F.lit(stride).cast("long")
+    )
+    e = d.select(
+        "doc_id", "words", "n", F.explode(starts).alias("tok_start")
+    )
+    return e.select(
+        "doc_id",
+        F.expr(f"CAST(tok_start DIV {stride} AS INT)").alias("chunk_idx"),
+        F.col("tok_start"),
+        F.least(F.lit(width).cast("long"), F.col("n") - F.col("tok_start"))
+        .alias("n_toks"),
+        F.array_join(
+            F.slice(
+                F.col("words"),
+                (F.col("tok_start") + 1).cast("int"),
+                width,
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # production-hash variants: the same signature pipelines with the xxhash64
 # backend — the mode a 100-TB run uses (md5 exists only for DuckDB bit
@@ -3413,6 +3537,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_length_percentiles": q_docs_length_percentiles,
     "docs_span_dedup": q_docs_span_dedup,
     "docs_span_clean": q_docs_span_clean,
+    "docs_pack_sequences": q_docs_pack_sequences,
+    "docs_chunk_overlap": q_docs_chunk_overlap,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -3489,4 +3615,6 @@ ORACLES: dict[str, str] = {
     "docs_length_percentiles": DOCS_LENGTH_PERCENTILES_SQL,
     "docs_span_dedup": DOCS_SPAN_DEDUP_SQL,
     "docs_span_clean": DOCS_SPAN_CLEAN_SQL,
+    "docs_pack_sequences": PACK_SEQUENCES_SQL,
+    "docs_chunk_overlap": CHUNK_OVERLAP_SQL,
 }

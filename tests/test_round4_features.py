@@ -92,3 +92,33 @@ def test_kmeans_centroids_deterministic_and_balanced(spark):
     assert len(sizes) == len(c1)  # no empty cells survive
     counts = sorted(r["count"] for r in sizes)
     assert counts[-1] < e.count()  # not everything in one cell
+
+
+def test_chunk_overlap_covers_every_token(spark):
+    """docs_chunk_overlap: chunk spans must tile every token index of
+    every doc (stride < width ⇒ each interior token appears in ≥1 chunk,
+    boundary tokens in exactly the overlap count), and each chunk's text
+    must be exactly the slice it claims."""
+    from nifi_tekst_bundle_spark.plans import catalog
+
+    out = catalog.q_docs_chunk_overlap(spark, SF).collect()
+    docs = {
+        r["doc_id"]: [
+            w for w in r["text"].strip().lower().split() if w
+        ]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in per_doc.items():
+        words = docs[doc_id]
+        covered = set()
+        for r in sorted(rows, key=lambda r: r["chunk_idx"]):
+            s, n = r["tok_start"], r["n_toks"]
+            assert r["chunk_text"] == " ".join(words[s : s + n])
+            assert n == min(64, len(words) - s)
+            covered.update(range(s, s + n))
+        assert covered == set(range(len(words)))

@@ -59,3 +59,78 @@ def test_balanced_shards_no_global_sort(spark):
     # the cumsum window partitions by chunk; a global ORDER BY window would
     # show Exchange SinglePartition — the scale-killer this operator avoids
     assert "SinglePartition" not in plan
+
+
+def _pack_oracle(pdf: pd.DataFrame, ctx: int) -> list[tuple]:
+    """Single-threaded concat-and-chunk: walk docs in id order, cut the
+    token stream every ctx tokens, record each (seq, doc) overlap."""
+    rows, off = [], 0
+    for r in pdf.sort_values("doc_id").itertuples(index=False):
+        if r.w <= 0:
+            continue
+        start = off
+        while start < off + r.w:
+            seq = start // ctx
+            end = min(off + r.w, (seq + 1) * ctx)
+            rows.append(
+                (seq, r.doc_id, start - off, end - off, start - seq * ctx,
+                 end - start)
+            )
+            start = end
+        off += r.w
+    return rows
+
+
+def test_pack_sequences_matches_serial_concat_chunk(spark):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(np.arange(0, 900, 3)),
+            # include docs longer than ctx (span >1 sequence) and zero-token
+            # docs (must emit nothing)
+            "w": np.concatenate(
+                [rng.integers(0, 4, 100), rng.integers(1, 700, 200)]
+            ),
+        }
+    )
+    df = spark.createDataFrame(pdf.astype({"doc_id": int, "w": int}))
+    got = sorted(
+        (
+            r["seq_id"], r["doc_id"], r["doc_tok_start"], r["doc_tok_end"],
+            r["seq_pos_start"], r["n_toks"],
+        )
+        for r in shard.pack_sequences(
+            df, "doc_id", "w", ctx_len=256, ids_per_chunk=64
+        ).collect()
+    )
+    assert got == sorted(_pack_oracle(pdf, 256))
+
+
+def test_pack_sequences_invariants(spark):
+    """Every sequence except the last holds exactly ctx tokens; every
+    doc's slices cover [0, w) without gap or overlap."""
+    pdf = pd.DataFrame({"doc_id": range(50), "w": [37] * 50})
+    df = spark.createDataFrame(pdf)
+    rows = shard.pack_sequences(df, "doc_id", "w", ctx_len=128).collect()
+    per_seq: dict[int, int] = {}
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_toks"]
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["doc_tok_start"], r["doc_tok_end"])
+        )
+    last = max(per_seq)
+    assert all(v == 128 for s, v in per_seq.items() if s != last)
+    assert sum(per_seq.values()) == 50 * 37
+    for spans in per_doc.values():
+        spans.sort()
+        assert spans[0][0] == 0 and spans[-1][1] == 37
+        assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+
+def test_pack_sequences_no_global_sort(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    df = df.withColumn("w", (df.doc_id % 7 + 1).cast("long"))
+    out = shard.pack_sequences(df, "doc_id", "w", ctx_len=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
