@@ -104,7 +104,9 @@ def hyperplane_signature(
     width = dims if dims is not None else _MAX_DIMS
     bits = []
     for p in range(plane_offset, plane_offset + n_planes):
-        w = F.array(*[F.lit(_plane_weight_py(p, d)) for d in range(width)])
+        # single ndarray literal — see _lit_vec (per-element F.lit was
+        # n_planes × width py4j calls of plan-construction overhead)
+        w = _lit_vec([_plane_weight_py(p, d) for d in range(width)])
         if dims is not None:
             zipped = F.zip_with(w, vec, lambda a, b: a * b)
         else:
