@@ -3404,6 +3404,106 @@ def q_docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOCS_SHUFFLE_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+    md5('shuffle|' || CAST(doc_id AS VARCHAR)) AS hkey,
+    ('0x' || substr(md5('shuffle|' || CAST(doc_id AS VARCHAR)), 1, 15))::INT64
+      % 16 AS shard_id
+  FROM documents
+)
+SELECT doc_id, CAST(shard_id AS INT) AS shard_id,
+  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY hkey, doc_id) - 1
+       AS BIGINT) AS pos
+FROM h
+"""
+
+
+def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (the pre-training "shuffle then
+    shard" step): every doc gets a pseudo-random but fully replayable
+    position — shard = keyed md5 mod n_shards, position = rank of the
+    md5 within the shard. One hash projection + windows PARTITIONED BY
+    SHARD (never a global order): with n_shards sized to the cluster
+    (16 here, thousands at 100 TB) no executor sorts more than one
+    shard, and re-runs land every doc in the identical slot — the same
+    replayability rule as the reference's deterministic page ordering
+    (ReorderFiles.kt:132-136)."""
+    docs = _read(spark, sf_dir, "documents")
+    hkey = F.md5(
+        F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string"))
+        .cast("binary")
+    )
+    h = docs.select(
+        "doc_id",
+        hkey.alias("hkey"),
+        (F.conv(F.substring(hkey, 1, 15), 16, 10).cast("long") % 16)
+        .cast("int")
+        .alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("hkey", "doc_id")
+    return h.select(
+        "doc_id",
+        "shard_id",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+
+
+DOCS_OOV_RATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       w -> w <> '')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+vocab AS (
+  SELECT w FROM toks GROUP BY w ORDER BY count(*) DESC, w LIMIT 50
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  round(CAST(count(*) FILTER (WHERE w NOT IN (SELECT w FROM vocab))
+             AS DOUBLE) / count(*), 6) AS oov_rate
+FROM toks GROUP BY doc_id
+"""
+
+
+def q_docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-doc out-of-vocabulary token
+    rate against the corpus's own top-50 vocabulary — the "will this
+    tokenizer shred the corpus" health metric of a training pipeline.
+    Two passes, both the 100-TB shape: (1) vocab = one map-side-
+    combinable word count + TakeOrderedAndProject, collected as BOUNDED
+    driver metadata (|vocab| rows — same class as k-means centroids);
+    (2) scoring = a pure narrow projection testing each token against
+    the vocab LITERAL (zero shuffle beyond the vocab agg, no explode in
+    the scoring pass). Ties in vocab rank break by word, so the vocab
+    set is replay-stable."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    d = docs.select("doc_id", words.alias("words")).filter(
+        F.size("words") > 0
+    )
+    vocab_rows = (
+        d.select(F.explode("words").alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(50)
+        .collect()
+    )
+    vocab = F.array(*[F.lit(r["w"]) for r in vocab_rows])
+    oov = F.size(
+        F.filter("words", lambda w: ~F.array_contains(vocab, w))
+    ).cast("double")
+    n = F.size("words").cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(oov / F.size("words"), 6).alias("oov_rate"),
+    )
+
+
 # --------------------------------------------------------------------------
 # production-hash variants: the same signature pipelines with the xxhash64
 # backend — the mode a 100-TB run uses (md5 exists only for DuckDB bit
@@ -3539,6 +3639,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_span_clean": q_docs_span_clean,
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_chunk_overlap": q_docs_chunk_overlap,
+    "docs_shuffle": q_docs_shuffle,
+    "docs_oov_rate": q_docs_oov_rate,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -3617,4 +3719,6 @@ ORACLES: dict[str, str] = {
     "docs_span_clean": DOCS_SPAN_CLEAN_SQL,
     "docs_pack_sequences": PACK_SEQUENCES_SQL,
     "docs_chunk_overlap": CHUNK_OVERLAP_SQL,
+    "docs_shuffle": DOCS_SHUFFLE_SQL,
+    "docs_oov_rate": DOCS_OOV_RATE_SQL,
 }

@@ -122,3 +122,37 @@ def test_chunk_overlap_covers_every_token(spark):
             assert n == min(64, len(words) - s)
             covered.update(range(s, s + n))
         assert covered == set(range(len(words)))
+
+
+def test_docs_shuffle_dense_deterministic_no_global_sort(spark):
+    """Shuffle positions must be dense 0..n-1 within each shard, stable
+    across runs, and the plan must not collapse to a single partition."""
+    from nifi_tekst_bundle_spark.plans import catalog
+
+    out = catalog.q_docs_shuffle(spark, SF)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    rows = out.collect()
+    again = {r["doc_id"]: (r["shard_id"], r["pos"]) for r in
+             catalog.q_docs_shuffle(spark, SF).collect()}
+    per_shard: dict[int, list] = {}
+    for r in rows:
+        assert again[r["doc_id"]] == (r["shard_id"], r["pos"])
+        per_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    assert len(rows) == sum(len(v) for v in per_shard.values())
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_docs_oov_rate_bounds_and_vocab_words_score_zero(spark):
+    """OOV rate is a true fraction, and the corpus's single most common
+    word is by construction in-vocab everywhere."""
+    from nifi_tekst_bundle_spark.plans import catalog
+
+    rows = catalog.q_docs_oov_rate(spark, SF).collect()
+    assert rows and all(0.0 <= r["oov_rate"] <= 1.0 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+    # fixture text is a small closed word set: top-50 vocab must cover
+    # most tokens, so the median doc is mostly in-vocab
+    med = sorted(r["oov_rate"] for r in rows)[len(rows) // 2]
+    assert med < 0.5
