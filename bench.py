@@ -71,6 +71,7 @@ HEADLINE = [
     "docs_chunk_overlap",
     "docs_shuffle",
     "docs_oov_rate",
+    "conv_training_examples",
     # production hash backend (xxhash64) — what a real 100-TB run uses; the
     # md5 twins above exist for DuckDB oracle bit-parity and stay listed so
     # the backend gap is visible in every BENCH artifact

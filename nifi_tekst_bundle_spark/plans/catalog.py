@@ -3404,6 +3404,56 @@ def q_docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONV_TRAINING_EXAMPLES_SQL_TMPL = r"""
+SELECT conv_id, turn_idx, context, target FROM (
+  SELECT conv_id, turn_idx, role, text AS target,
+    coalesce(
+      string_agg(coalesce(role, '') || '|' || coalesce(text, ''), chr(10))
+        OVER (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING),
+      '') AS context
+  FROM ( {final_state} )
+)
+WHERE role = 'purchase'
+"""
+
+
+def q_conv_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-tuning example extraction over the applied transcripts
+    table: for every completion-role turn, emit (context, target) where
+    context is the previous up-to-4 turns rendered 'role|text' — the
+    standard "conversation → SFT pairs" step of an LLM training
+    pipeline (the fixture's role vocabulary stands in for
+    user/assistant; 'purchase' is the completion role). One window
+    partitioned by conversation (bounded frames — conversations are
+    bounded, never corpus-sized), order inside the frame fixed by
+    turn_idx, so the plan is the single-shuffle per-conversation shape
+    that survives 10^10 turns. Empty context (a conversation-opening
+    completion) renders as '' on both engines."""
+    final = q_cdc_lww_final_state(spark, sf_dir)
+    fmt = F.concat(
+        F.coalesce(F.col("role"), F.lit("")),
+        F.lit("|"),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-4, -1)
+    )
+    return (
+        final.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.col("text").alias("target"),
+            F.array_join(F.collect_list(fmt).over(w), "\n").alias("context"),
+        )
+        .filter(F.col("role") == "purchase")
+        .select("conv_id", "turn_idx", "context", "target")
+    )
+
+
 DOCS_SHUFFLE_SQL = r"""
 WITH h AS (
   SELECT doc_id,
@@ -3641,6 +3691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_chunk_overlap": q_docs_chunk_overlap,
     "docs_shuffle": q_docs_shuffle,
     "docs_oov_rate": q_docs_oov_rate,
+    "conv_training_examples": q_conv_training_examples,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -3721,4 +3772,7 @@ ORACLES: dict[str, str] = {
     "docs_chunk_overlap": CHUNK_OVERLAP_SQL,
     "docs_shuffle": DOCS_SHUFFLE_SQL,
     "docs_oov_rate": DOCS_OOV_RATE_SQL,
+    "conv_training_examples": CONV_TRAINING_EXAMPLES_SQL_TMPL.format(
+        final_state=CDC_FINAL_STATE_SQL
+    ),
 }
