@@ -97,6 +97,45 @@ def balanced_shards(
     )
 
 
+def shuffle_positions(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 16,
+    salt: str = "shuffle",
+    out_shard: str = "shard_id",
+    out_pos: str = "pos",
+) -> DataFrame:
+    """Deterministic corpus shuffle (the pre-training "shuffle then
+    shard" step): every row gets a pseudo-random but fully replayable
+    slot — ``out_shard`` = keyed md5 of ``id_col`` mod ``n_shards``,
+    ``out_pos`` = rank of that md5 WITHIN the shard (ties by id). Windows
+    are partitioned by shard, never global: size ``n_shards`` to the
+    cluster (16 on the fixture, thousands at 100 TB) and no executor
+    sorts more than one shard. ``salt`` reshuffles between epochs without
+    touching the data. Replayability rule per the reference's
+    deterministic page ordering (ReorderFiles.kt:132-136)."""
+    hkey = F.md5(
+        F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))
+        .cast("binary")
+    )
+    h = df.select(
+        F.col(id_col),
+        hkey.alias("_hkey"),
+        (
+            F.conv(F.substring(hkey, 1, 15), 16, 10).cast("long")
+            % F.lit(int(n_shards))
+        )
+        .cast("int")
+        .alias(out_shard),
+    )
+    w = Window.partitionBy(out_shard).orderBy("_hkey", id_col)
+    return h.select(
+        id_col,
+        out_shard,
+        (F.row_number().over(w) - 1).cast("long").alias(out_pos),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     order_col: str,

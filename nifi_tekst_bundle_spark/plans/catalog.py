@@ -3471,31 +3471,12 @@ FROM h
 
 def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle (the pre-training "shuffle then
-    shard" step): every doc gets a pseudo-random but fully replayable
-    position — shard = keyed md5 mod n_shards, position = rank of the
-    md5 within the shard. One hash projection + windows PARTITIONED BY
-    SHARD (never a global order): with n_shards sized to the cluster
-    (16 here, thousands at 100 TB) no executor sorts more than one
-    shard, and re-runs land every doc in the identical slot — the same
-    replayability rule as the reference's deterministic page ordering
-    (ReorderFiles.kt:132-136)."""
-    docs = _read(spark, sf_dir, "documents")
-    hkey = F.md5(
-        F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string"))
-        .cast("binary")
-    )
-    h = docs.select(
-        "doc_id",
-        hkey.alias("hkey"),
-        (F.conv(F.substring(hkey, 1, 15), 16, 10).cast("long") % 16)
-        .cast("int")
-        .alias("shard_id"),
-    )
-    w = Window.partitionBy("shard_id").orderBy("hkey", "doc_id")
-    return h.select(
-        "doc_id",
-        "shard_id",
-        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    shard" step) — see operators/shard.py shuffle_positions for the
+    scale contract (windows partitioned by shard, never global)."""
+    from ..operators import shard
+
+    return shard.shuffle_positions(
+        _read(spark, sf_dir, "documents"), "doc_id", n_shards=16
     )
 
 
