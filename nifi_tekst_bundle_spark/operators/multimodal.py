@@ -18,8 +18,9 @@ Decode strategy (degrades gracefully, never hard-fails at import):
   built-in pure-python header decoder handles PNG (IHDR) and BMP
   (BITMAPINFOHEADER) — real bytes, real dimensions, zero dependencies.
   Audio decodes WAV headers (RIFF/fmt/data → sample-frame count) the same
-  way. Video (and unrecognized image/audio formats) raises
-  NotImplementedError naming what is needed (ffmpeg) — loud, not silent.
+  way; video: YUV4MPEG2 offset walk. Unrecognized byte layouts
+  (compressed codecs) raise NotImplementedError naming what is needed
+  (ffmpeg) — loud, not silent.
 """
 
 from __future__ import annotations
@@ -109,11 +110,46 @@ def _parse_wav(payload: bytes):
     return None
 
 
+def _parse_y4m(payload: bytes):
+    """(width, height, n_frames) from an uncompressed YUV4MPEG2 stream:
+    a text stream header ('YUV4MPEG2 W.. H.. [C..] ...\\n') followed by
+    'FRAME[ params]\\n' + raw planar YUV per frame. Frame byte size is
+    fixed by W×H×(colorspace multiplier), so counting frames is a pure
+    offset walk — no pixel decode, no codec."""
+    if not payload.startswith(b"YUV4MPEG2 "):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    cs = b"420"
+    for tok in payload[10:nl].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:] or 0)
+        elif tok[:1] == b"H":
+            h = int(tok[1:] or 0)
+        elif tok[:1] == b"C":
+            cs = tok[1:4]
+    if not w or not h:
+        return None
+    # bytes per frame = W*H * {4:2:0 -> 1.5, 4:2:2 -> 2, 4:4:4 -> 3}
+    mult = {b"420": 3, b"422": 4, b"444": 6}.get(cs, 3)
+    fsize = w * h * mult // 2
+    pos, n = nl + 1, 0
+    while payload[pos:pos + 5] == b"FRAME":
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + fsize > len(payload):
+            break
+        pos = fnl + 1 + fsize
+        n += 1
+    return (w, h, n) if n > 0 else None
+
+
 def _decode_real(kind: str, payload: bytes):
     """Real decode. Images: PIL when installed, else the pure-python
-    PNG/BMP header decoders; audio: WAV header walk. Anything else (or an
-    unrecognized byte layout) raises a NotImplementedError naming what is
-    needed — loud, not silent."""
+    PNG/BMP header decoders; audio: WAV header walk; video: YUV4MPEG2
+    offset walk. Anything else (or an unrecognized byte layout) raises a
+    NotImplementedError naming what is needed — loud, not silent."""
     if kind == "image":
         if HAVE_PIL:
             img = _PILImage.open(io.BytesIO(payload or b""))
@@ -133,8 +169,16 @@ def _decode_real(kind: str, payload: bytes):
             "real audio decode: payload is not RIFF/WAVE (other codecs "
             "need librosa/ffmpeg, which is not installed)"
         )
+    if kind == "video":
+        parsed = _parse_y4m(payload or b"")
+        if parsed:
+            return parsed
+        raise NotImplementedError(
+            "real video decode: payload is not YUV4MPEG2 (compressed "
+            "codecs need ffmpeg, which is not installed)"
+        )
     raise NotImplementedError(
-        f"real {kind} decode requires ffmpeg, which is not installed; "
+        f"real {kind} decode is not supported; "
         "run with decode_stub=True for the deterministic plumbing path"
     )
 

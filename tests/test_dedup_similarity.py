@@ -359,10 +359,16 @@ def test_multimodal_real_decode_path(spark):
            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
            + b"data" + struct.pack("<I", len(data)) + data)
 
+    # real 3-frame 4x2 YUV4MPEG2 stream (4:2:0 -> 12 bytes/frame)
+    y4m = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n" + (
+        b"FRAME\n" + bytes(12)
+    ) * 3
+
     rows = [
         (1, "image", bytearray(png), None),
         (2, "image", bytearray(bmp), None),
         (3, "audio", bytearray(wav), None),
+        (4, "video", bytearray(y4m), None),
     ]
     df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
     byid = {
@@ -372,6 +378,11 @@ def test_multimodal_real_decode_path(spark):
     assert (byid[1]["width"], byid[1]["height"], byid[1]["n_frames"]) == (1, 1, 1)
     assert (byid[2]["width"], byid[2]["height"], byid[2]["n_frames"]) == (2, 3, 1)
     assert (byid[3]["width"], byid[3]["height"], byid[3]["n_frames"]) == (2, 8, 4)
+    assert (byid[4]["width"], byid[4]["height"], byid[4]["n_frames"]) == (4, 2, 3)
+
+    # frame sampling over the real video path: every 2nd frame of 3
+    sampled = multimodal.frame_sample(df, every_n=2, decode_stub=False).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2]
 
     # undecodable bytes on the real path stay LOUD
     bad = spark.createDataFrame(
