@@ -973,3 +973,89 @@ def strip_spans(
         cleaned.alias("clean_text"),
         n_removed.cast("bigint").alias("n_removed"),
     )
+
+
+# ------------------------------------------------------------ bloom filter
+
+
+def bloom_novelty(
+    reference: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    m: int = 4096,
+    k: int = 3,
+    hash_mode: str = "oracle",
+) -> DataFrame:
+    """Bloom-filter novelty check of ``incoming`` documents against a
+    ``reference`` corpus — the constant-memory cross-shard exact-dedup
+    primitive (a new crawl snapshot probed against everything already
+    ingested, without shuffling the reference corpus per batch).
+
+    Each document's text hashes to ``k`` bit positions in [0, m). The
+    filter is materialized RELATIONALLY as the distinct-position table of
+    the reference side — at most ``m`` rows REGARDLESS of reference size,
+    so the probe join is always broadcastable: the incoming scan never
+    shuffles and the reference collapses to bounded state, exactly the
+    guarantee a bitset gives (a deployment packing the positions into
+    m/8 bytes changes the representation, not the plan shape). False
+    positives are inherent Bloom semantics and fully DETERMINISTIC here:
+    both engines derive positions from the same md5 prefixes (oracle
+    mode: position_j = ('0x'||substr(md5(text), 1+8j, 8))::int % m), so
+    the oracle reproduces every collision bit-for-bit. Production mode
+    swaps in xxhash64(text, j) — one JVM intrinsic per probe instead of
+    md5 (see the module's dual-backend note).
+
+    Returns (id_col, n_hits, verdict): verdict = 'seen' iff all k
+    positions are set — maybe-duplicate (send to exact verification);
+    'novel' is EXACT (guaranteed not in the reference). Null-text rows
+    verdict 'invalid' (cf. incremental_near_dups).
+    """
+    _check_mode(hash_mode)
+    if k * 8 > 32:
+        raise ValueError("k*8 hex chars must fit one md5 digest")
+
+    def positions(col: F.Column) -> list[F.Column]:
+        if hash_mode == "production":
+            return [
+                F.pmod(F.xxhash64(col, F.lit(j)), F.lit(m)).cast("int")
+                for j in range(k)
+            ]
+        digest = F.md5(col.cast("binary"))
+        return [
+            F.pmod(
+                F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long"),
+                F.lit(m),
+            ).cast("int")
+            for j in range(k)
+        ]
+
+    ref_bits = (
+        reference.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.array(*positions(F.col(text_col)))).alias("bit"))
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    probes = incoming.select(
+        F.col(id_col),
+        F.col(text_col).isNull().alias("is_null"),
+        F.explode(
+            F.array(*positions(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(ref_bits), ["bit"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("is_null").alias("is_null"),
+            F.sum(F.coalesce(F.col("set_"), F.lit(0)))
+            .cast("int")
+            .alias("n_hits"),
+        )
+    )
+    verdict = (
+        F.when(F.col("is_null"), F.lit("invalid"))
+        .when(F.col("n_hits") == k, F.lit("seen"))
+        .otherwise(F.lit("novel"))
+    )
+    return hits.select(F.col(id_col), "n_hits", verdict.alias("verdict"))

@@ -1,0 +1,149 @@
+"""Corpus-statistics language-model operators: bigram-LM quality scoring
+(the CCNet/"perplexity filter" stage of a training-data pipeline) and
+TF-IDF keyword extraction.
+
+Both are deliberately LOG-FREE. IEEE 754 requires +, -, *, / and sqrt to
+be correctly rounded, so a score built only from those operations — with
+any multi-term sum folded in a FIXED order — is bit-identical between
+Spark's JVM expressions and the DuckDB oracle. ln()/log() carry no such
+guarantee (libm implementations differ in the last ulp), which is why the
+bigram score is an average of smoothed probabilities rather than a
+log-perplexity, and the IDF weight is the Robertson–Sparck-Jones odds
+ratio (N - df + 0.5) / (df + 0.5) without the customary log. Both are
+order-equivalent rankers of the logarithmic originals per fixed df / n:
+monotone transforms preserve the filter decision a pipeline makes.
+
+Scale shape (100 TB): everything is groupBy/join on word keys — map-side
+combinable aggregations, AQE-broadcastable count tables, no Python in the
+scan, no driver-side iteration beyond bounded scalars (corpus doc count,
+vocab size — the same class of metadata as k-means centroids).
+
+Reference parity: the reference has no LM stage; these extend SURVEY.md's
+"training-data pipeline" axis alongside dedup/quality (see
+docs/quality routing in functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _words(text_col: F.Column) -> F.Column:
+    """Whitespace tokens, lowercased, empties dropped — the corpus-wide
+    tokenization convention (matches dedup.word_shingles and the vocab /
+    OOV operators, so all corpus statistics agree on token identity)."""
+    return F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"), lambda w: w != ""
+    )
+
+
+def bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Explode each document into ordered adjacent word pairs
+    (id, pos, w1, w2). Documents with < 2 tokens produce no rows. One
+    explode pass; everything downstream is relational."""
+    d = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _words(F.col(text_col)).alias("words")
+    )
+    pair_structs = F.transform(
+        F.sequence(F.lit(0), F.size("words") - 2),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.element_at(F.col("words"), (i + 1).cast("int")).alias("w1"),
+            F.element_at(F.col("words"), (i + 2).cast("int")).alias("w2"),
+        ),
+    )
+    return (
+        d.filter(F.size("words") >= 2)
+        .select(F.col(id_col), F.explode(pair_structs).alias("p"))
+        .select(id_col, "p.pos", "p.w1", "p.w2")
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document fluency score from a bigram LM trained on the corpus
+    itself (self-scoring, the CCNet quality-filter shape).
+
+    Laplace-smoothed conditional: p(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V)
+    where c2 is the corpus bigram count, c1 the count of w1 as a pair
+    context, and V the full distinct-word vocabulary size. The score is
+    avg_bigram_prob = round(sum_in_document_order(p) / n_pairs, 6) — a
+    monotone (order-preserving per document length) proxy for negative
+    perplexity that stays inside correctly-rounded IEEE arithmetic.
+
+    Plan: one pair-explode feeding (a) the bigram count agg, (b) the
+    context agg derived FROM the bigram counts (no second corpus scan),
+    and (c) the scoring join; V is one distinct-count over tokens. The
+    per-document sum folds a sort_array'd collect_list so addition order
+    is document order on both engines. Joins are on word keys — the count
+    tables are vocabulary-sized, far smaller than the corpus, and AQE
+    broadcasts them when they fit."""
+    pairs = bigram_pairs(df, id_col, text_col)
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    contexts = bigrams.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab_size = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_words(F.col(text_col))).alias("w"))
+        .agg(F.countDistinct("w"))
+        .collect()[0][0]
+    )
+    p = (F.col("c2") + 1).cast("double") / (
+        F.col("c1") + F.lit(int(vocab_size))
+    ).cast("double")
+    scored = (
+        pairs.join(bigrams, ["w1", "w2"])
+        .join(contexts, ["w1"])
+        .select(F.col(id_col), F.col("pos"), p.alias("p"))
+    )
+    probs = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "p"))), lambda x: x["p"]
+    )
+    total = F.aggregate(probs, F.lit(0.0), lambda acc, v: acc + v)
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(total / F.count("*"), 6).alias("avg_bigram_prob"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k keywords per document by TF-IDF with the log-free
+    Robertson–Sparck-Jones IDF: score = tf * (N - df + 0.5) / (df + 0.5).
+    Monotone in the classic log-IDF for fixed N, so the per-document
+    keyword ranking is identical; exact in IEEE arithmetic, so the DuckDB
+    oracle hashes bit-for-bit.
+
+    Plan: token explode → (doc, word, tf) agg; df is a second agg OVER
+    that table (one row per distinct doc-word — no re-scan of text); N is
+    a bounded driver scalar. The tf⋈df join is on the word key against a
+    vocabulary-sized table (AQE-broadcastable); ranking is one window per
+    document. Ties break (score desc, word asc)."""
+    d = df.filter(F.col(text_col).isNotNull())
+    n_docs = d.count()
+    tf = (
+        d.select(F.col(id_col), F.explode(_words(F.col(text_col))).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5)),
+        6,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        tf.join(dfreq, ["word"])
+        .select(F.col(id_col), "word", "tf", "df", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -439,3 +439,42 @@ def kmeans_ivf_topk(
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "cos", "rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the k corpus vectors MOST similar by cosine whose label differs from
+    the anchor's — the near-misses a contrastive loss learns the most
+    from (easy negatives are already far; these sit just across the
+    boundary).
+
+    ``anchors`` needs (anchor_id, anchor_vec, anchor_label) columns. Same
+    scale shape as brute_force_topk: anchors are the small side and
+    broadcast, the corpus never shuffles, and the per-anchor window ranks
+    at most |corpus| rows map-side before the (n_anchors × k)-bounded
+    shuffle. The label-inequality predicate is applied BEFORE ranking so
+    same-class neighbours can't occupy top-k slots. Self-pairs drop out
+    automatically (same id ⇒ same label). Ties break by corpus id."""
+    joined = corpus.crossJoin(F.broadcast(anchors)).filter(
+        F.col(label_col) != F.col("anchor_label")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id").asc()
+    )
+    return (
+        joined.select(
+            F.col("anchor_id"),
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("negative_label"),
+            cosine(F.col(vec_col), F.col("anchor_vec")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

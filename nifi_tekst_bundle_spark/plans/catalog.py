@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions import keys as kf
 from ..functions import text as tf
-from ..operators import dedup, lww, resolve, similarity
+from ..operators import dedup, lm, lww, resolve, similarity
 
 CDC_PAYLOAD = ["role", "text", "tool"]
 
@@ -3536,6 +3536,173 @@ def q_docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# round-4 batch 2: bigram-LM quality score, TF-IDF keywords, Bloom-filter
+# cross-corpus novelty, embedding hard-negative mining
+# --------------------------------------------------------------------------
+
+
+DOCS_LM_SCORE_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+v AS (
+  SELECT count(DISTINCT w) AS vs
+  FROM (SELECT unnest(words) AS w FROM base)
+),
+pairs AS (
+  SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(len(words) - 1),
+             i -> {'pos': i, 'w1': words[i + 1], 'w2': words[i + 2]})) AS u
+    FROM base WHERE len(words) >= 2)
+),
+bg AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c2) AS c1 FROM bg GROUP BY w1),
+scored AS (
+  SELECT pairs.doc_id, pairs.pos,
+    CAST(bg.c2 + 1 AS DOUBLE) / CAST(ctx.c1 + v.vs AS DOUBLE) AS p
+  FROM pairs JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+  round(list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+                    (x, y) -> x + y) / count(*), 6) AS avg_bigram_prob
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality filter: score every document under a bigram LM
+    trained on the corpus itself (lm.bigram_lm_score — see that docstring
+    for the log-free determinism argument and the 100-TB plan shape)."""
+    return lm.bigram_lm_score(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+DOCS_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       w -> w <> '')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nd
+  FROM documents WHERE text IS NOT NULL
+),
+tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, word
+),
+dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+    round(CAST(tf.tf AS DOUBLE) * (n.nd - dfq.df + 0.5) / (dfq.df + 0.5),
+          6) AS score
+  FROM tf JOIN dfq USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tf, df, score,
+  CAST(row_number() OVER (PARTITION BY doc_id
+                          ORDER BY score DESC, word ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= 3
+"""
+
+
+def q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by log-free TF-IDF (lm.tfidf_topk)."""
+    return lm.tfidf_topk(_read(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+def _bloom_bits_sql(text_expr: str, m: int) -> str:
+    return ", ".join(
+        f"('0x' || substr(md5({text_expr}), {1 + 8 * j}, 8))::INT64 % {m}"
+        for j in range(3)
+    )
+
+
+DOCS_BLOOM_DEDUP_SQL = f"""
+WITH ref_bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT unnest([{_bloom_bits_sql('text', 4096)}]) AS bit
+    FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL)
+),
+probes AS (
+  SELECT doc_id, is_null, unnest(bits) AS bit FROM (
+    SELECT doc_id, text IS NULL AS is_null,
+      [{_bloom_bits_sql("coalesce(text, '')", 4096)}] AS bits
+    FROM documents WHERE doc_id % 5 = 0)
+),
+hits AS (
+  SELECT p.doc_id, max(p.is_null) AS is_null,
+    CAST(count(r.bit) AS INT) AS n_hits
+  FROM probes p LEFT JOIN ref_bits r ON p.bit = r.bit
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_hits,
+  CASE WHEN is_null THEN 'invalid'
+       WHEN n_hits = 3 THEN 'seen'
+       ELSE 'novel' END AS verdict
+FROM hits
+"""
+
+
+def q_docs_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter novelty of every 5th document probed against the rest
+    of the corpus (dedup.bloom_novelty; same ref/incoming split as
+    docs_incremental_dedup). The reference side collapses to a ≤ m-row
+    distinct-position table, so the probe is a broadcast join however
+    large the reference corpus grows."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.bloom_novelty(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        "doc_id", "text", m=4096, k=3, hash_mode="oracle",
+    )
+
+
+EMB_HARD_NEGATIVES_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+  FROM e WHERE vec_id % 100 = 3
+),
+pairs AS (
+  SELECT a.anchor_id, e.vec_id AS negative_id, e.label AS negative_label,
+    {_DOT.format(a='e.v', b='a.av')}
+      / ({_NRM.format(a='e.v')} * {_NRM.format(a='a.av')}) AS cos
+  FROM e CROSS JOIN a WHERE e.label <> a.anchor_label
+)
+SELECT anchor_id, negative_id, negative_label, cos,
+  CAST(row_number() OVER (PARTITION BY anchor_id
+                          ORDER BY cos DESC, negative_id ASC) AS INT) AS rank
+FROM pairs QUALIFY rank <= 3
+"""
+
+
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: for each anchor (every 100th
+    vector) the 3 most-cosine-similar vectors with a DIFFERENT label
+    (similarity.hard_negatives — anchors broadcast, corpus unshuffled)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    anchors = emb.filter(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    return similarity.hard_negatives(emb, anchors, k=3)
+
+
+# --------------------------------------------------------------------------
 # production-hash variants: the same signature pipelines with the xxhash64
 # backend — the mode a 100-TB run uses (md5 exists only for DuckDB bit
 # parity; it was the dominant constant factor of every signature scan).
@@ -3673,6 +3840,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_shuffle": q_docs_shuffle,
     "docs_oov_rate": q_docs_oov_rate,
     "conv_training_examples": q_conv_training_examples,
+    "docs_lm_score": q_docs_lm_score,
+    "docs_tfidf": q_docs_tfidf,
+    "docs_bloom_dedup": q_docs_bloom_dedup,
+    "emb_hard_negatives": q_emb_hard_negatives,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -3756,4 +3927,8 @@ ORACLES: dict[str, str] = {
     "conv_training_examples": CONV_TRAINING_EXAMPLES_SQL_TMPL.format(
         final_state=CDC_FINAL_STATE_SQL
     ),
+    "docs_lm_score": DOCS_LM_SCORE_SQL,
+    "docs_tfidf": DOCS_TFIDF_SQL,
+    "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,
+    "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
 }
