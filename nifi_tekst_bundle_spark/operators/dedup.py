@@ -628,10 +628,17 @@ def simhash64(
 
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, n_bands: int = 4,
-    hash_mode: str = "production",
+    hash_mode: str = "production", max_hamming: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any 15-bit simhash band (catches
-    Hamming distance < n_bands by pigeonhole)."""
+    Hamming distance < n_bands by pigeonhole).
+
+    With ``max_hamming`` set, the band-bucket candidates are VERIFIED by
+    exact Hamming distance (bit_count of xor — one JVM intrinsic per
+    candidate pair, no re-scan of text: the simhashes ride along on the
+    band rows) and the result gains a ``hamming`` column. This is the
+    same candidates→verify shape as minhash_near_dups' Jaccard stage:
+    the expensive exact check runs only inside buckets."""
     sim = simhash64(df, id_col, text_col, hash_mode)
     width = 60 // n_bands
     bands = sim.select(
@@ -652,18 +659,28 @@ def simhash_near_dups(
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_id", "band.band_val")
     a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
+    cand = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    if max_hamming is None:
+        return cand.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+        ).distinct()
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
         )
         .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -3664,6 +3664,44 @@ def q_docs_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_pairs_sql(n_bands: int = 4, max_hamming: int = 8) -> str:
+    width = 60 // n_bands
+    mask = (1 << width) - 1
+    return f"""
+WITH sim AS (SELECT * FROM ({_simhash_sql()})),
+bands AS (
+  SELECT doc_id, simhash, b.band_id,
+    (simhash >> (b.band_id * {width})) & {mask} AS band_val
+  FROM sim CROSS JOIN
+    (SELECT unnest(range({n_bands})) AS band_id) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+DOCS_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
+
+def q_docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup pairs, band-bucketed then Hamming-verified
+    (dedup.simhash_near_dups with max_hamming — completes the simhash
+    path under the oracle the way docs_minhash_pairs does for minhash)."""
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return dedup.simhash_near_dups(
+        docs, "doc_id", "text", n_bands=4, hash_mode="oracle", max_hamming=8
+    )
+
+
 EMB_HARD_NEGATIVES_SQL = f"""
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3844,6 +3882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_tfidf": q_docs_tfidf,
     "docs_bloom_dedup": q_docs_bloom_dedup,
     "emb_hard_negatives": q_emb_hard_negatives,
+    "docs_simhash_pairs": q_docs_simhash_pairs,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -3931,4 +3970,5 @@ ORACLES: dict[str, str] = {
     "docs_tfidf": DOCS_TFIDF_SQL,
     "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
+    "docs_simhash_pairs": DOCS_SIMHASH_PAIRS_SQL,
 }

@@ -281,3 +281,55 @@ def test_length_percentiles_single_shuffle_partial_agg(spark):
     plan = _plan(catalog.q_docs_length_percentiles(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_bloom_probe_is_broadcast_join(spark):
+    """The reference side collapses to a ≤ m-row bit table and is
+    EXPLICITLY broadcast: the incoming probe must be a BroadcastHashJoin
+    — a sort-merge join here would shuffle the incoming corpus on bit
+    values, exactly what the Bloom representation exists to avoid."""
+    plan = _plan(catalog.q_docs_bloom_dedup(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_hard_negatives_broadcast_anchors_single_window_shuffle(spark):
+    """Anchors broadcast (nested-loop over the corpus scan); the only
+    hash exchange is the per-anchor ranking window — the corpus never
+    shuffles on its own key."""
+    plan = _plan(catalog.q_emb_hard_negatives(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_lm_score_and_tfidf_stay_jvm_side(spark):
+    """Both corpus-statistics operators are pure JVM expressions with
+    map-side partial aggregation — no Python anywhere near the token
+    explode."""
+    for q in (catalog.q_docs_lm_score, catalog.q_docs_tfidf):
+        plan = _plan(q(spark, SF))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Aggregate") >= 2  # partial + final somewhere
+
+
+def test_simhash_pairs_verify_adds_no_shuffle(spark):
+    """The Hamming verify rides the band-join output (bit_count of xor on
+    columns already present) — same exchange count as the candidates-only
+    plan, and no Python."""
+    cand = _plan(
+        catalog.dedup.simhash_near_dups(
+            catalog._read(spark, SF, "documents"), "doc_id", "text",
+            n_bands=4, hash_mode="oracle",
+        )
+    )
+    verified = _plan(catalog.q_docs_simhash_pairs(spark, SF))
+    assert verified.count("Exchange hashpartitioning") <= cand.count(
+        "Exchange hashpartitioning"
+    ) + 1  # + the explicit spread repartition in the catalog query
+    assert "BatchEvalPython" not in verified
