@@ -72,6 +72,11 @@ HEADLINE = [
     "docs_shuffle",
     "docs_oov_rate",
     "conv_training_examples",
+    "conv_role_alternation",
+    "conv_loss_mask",
+    "conv_truncate",
+    "conv_structure_dedup",
+    "docs_html_extract",
     # production hash backend (xxhash64) — what a real 100-TB run uses; the
     # md5 twins above exist for DuckDB oracle bit-parity and stay listed so
     # the backend gap is visible in every BENCH artifact

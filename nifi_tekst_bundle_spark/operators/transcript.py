@@ -1,0 +1,270 @@
+"""Transcript-native operators over the applied conversation table.
+
+The engine's CDC pipeline lands a table of multi-turn conversation /
+agent transcripts keyed by (conv_id, turn_idx) with payload
+(role, text, tool).  The reference's per-document post-processing steps
+(ordered fold + render, CreateMetsBrowsing.kt:161-312; per-doc validation
+routing, Jhove.kt:55-112) generalize here to the per-CONVERSATION steps a
+training-data pipeline runs after ingest:
+
+- dialogue-structure validation (role alternation, loop detection)
+- SFT loss-mask construction (which turns are trained on, token offsets)
+- context-window truncation (longest whole-turn suffix under a budget)
+- conversation-level dedup by interaction structure
+- tool-usage rollups
+
+Scale contract shared by every operator in this module: all windows are
+partitioned by ``conv_id`` and conversations are BOUNDED (a conversation
+is never corpus-sized), so each operator is the one-shuffle-by-conv_id
+shape; no global sort, no driver collect, no Python in the hot path —
+every expression is a JVM built-in that stays inside whole-stage codegen.
+That shape survives 10^10 turns: the shuffle key is the natural
+partitioning key of the table, and AQE handles residual skew.
+
+Token counts use a deterministic BPE-ish estimate (ceil(chars/4), min 1
+for non-null text) — the industry rule-of-thumb for budget planning; the
+exact tokenizer is deployment-specific and pluggable via ``tokens_col``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Sentinel for NULL roles/payloads inside comparisons: \x01 cannot occur in
+# fixture text, so coalescing to it makes equality null-safe on both engines
+# (Spark eqNullSafe and DuckDB IS NOT DISTINCT FROM disagree on frame
+# boundaries; a sentinel sidesteps the dialect gap entirely).
+_NULL_SENTINEL = "\x01"
+
+
+def estimated_tokens(text: Column) -> Column:
+    """BPE-ish token estimate: ceil(len/4), min 1; NULL text -> 0.
+
+    Pure JVM arithmetic (no tokenizer UDF) — the standard planning
+    estimate for token budgets; swap in a real tokenizer count column
+    where exactness matters (docs_token_stats has the regex form).
+    """
+    return (
+        F.when(text.isNull(), F.lit(0))
+        .otherwise(F.greatest(F.lit(1), F.ceil(F.length(text) / 4)))
+        .cast("long")
+    )
+
+
+def role_alternation(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Per-conversation dialogue-structure validation.
+
+    Flags conversations whose role sequence violates strict alternation
+    (two consecutive turns with the same role — the classic symptom of a
+    broken scrape or a stuck agent).  Emits per conversation:
+
+    - n_turns, n_roles (distinct, NULL counted as its own role)
+    - n_role_repeats: consecutive same-role turn pairs
+    - first_role / last_role (turn order; NULL rendered as '')
+    - alternates: true iff no repeats
+
+    One window + one groupBy, both keyed by conv_id — a single shuffle.
+    The reference's per-document validate-and-route (Jhove.kt:55-112)
+    applied at conversation granularity.
+    """
+    r = F.coalesce(F.col(role_col), F.lit(_NULL_SENTINEL))
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    seq = df.select(
+        F.col(conv_col),
+        F.col(turn_col),
+        r.alias("_r"),
+        (F.lag(r).over(w)).alias("_prev"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    rep = (F.col("_rn") > 1) & (F.col("_prev") == F.col("_r"))
+    shown = F.when(F.col("_r") == _NULL_SENTINEL, F.lit("")).otherwise(F.col("_r"))
+    return seq.groupBy(conv_col).agg(
+        F.count("*").alias("n_turns"),
+        F.countDistinct("_r").alias("n_roles"),
+        F.sum(rep.cast("long")).alias("n_role_repeats"),
+        F.min_by(shown, F.col(turn_col)).alias("first_role"),
+        F.max_by(shown, F.col(turn_col)).alias("last_role"),
+        (F.sum(rep.cast("long")) == 0).alias("alternates"),
+    )
+
+
+def loss_mask(
+    df: DataFrame,
+    completion_role: str,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """SFT loss-mask construction: which turns are trained on, and where
+    each turn's tokens land in the packed conversation.
+
+    Emits per turn: ``train`` (completion-role turn with non-empty
+    text), ``n_tokens``, and ``token_start`` — the cumulative token
+    offset of the turn within its conversation (sum of all preceding
+    turns' tokens, 0 for the first).  Downstream packing/labeling reads
+    [token_start, token_start + n_tokens) as the turn's span.
+
+    One window partitioned by conv_id (bounded frames) — single shuffle.
+    """
+    toks = estimated_tokens(F.col(text_col))
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    train = (
+        F.coalesce(F.col(role_col), F.lit("")) == completion_role
+    ) & (toks > 0)
+    return df.select(
+        F.col(conv_col),
+        F.col(turn_col),
+        train.alias("train"),
+        toks.alias("n_tokens"),
+        F.coalesce(F.sum(toks).over(w), F.lit(0)).cast("long").alias("token_start"),
+    )
+
+
+def truncate_to_budget(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window truncation: keep the longest SUFFIX of whole turns
+    whose total estimated tokens fit the budget.
+
+    The standard "fit the conversation into the model's context" step —
+    the most recent turns matter most, turns are never split.  A turn is
+    kept iff the running token total from the conversation's END back to
+    (and including) that turn is <= budget.  Emits kept turns with their
+    token count and reverse-cumulative total.
+
+    One window (conv_id partition, turn_idx DESC order) — single
+    shuffle; the filter is a pure narrow post-window predicate.
+    """
+    toks = estimated_tokens(F.col(text_col))
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(turn_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.select(
+            F.col(conv_col),
+            F.col(turn_col),
+            toks.alias("n_tokens"),
+            F.sum(toks).over(w).cast("long").alias("rev_cum_tokens"),
+        )
+        .filter(F.col("rev_cum_tokens") <= budget)
+    )
+
+
+def structure_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    sig_cols: tuple[str, ...] = ("role", "tool"),
+) -> DataFrame:
+    """Conversation-level dedup by interaction STRUCTURE.
+
+    Two conversations are duplicates when their ordered
+    (role, tool, ...) turn signatures are identical — the
+    template/boilerplate-conversation detector (synthetic data and
+    scripted flows produce thousands of structurally identical
+    transcripts; exact text dedup misses them, this catches them).
+    Canonical representative = min conv_id per signature, mirroring the
+    reference's keep-first dedup before expensive sink work
+    (RenameS3Utils.kt:52).
+
+    Emits (conv_id, sig_md5, canonical_conv_id, is_dup).  Two shuffles
+    (fold by conv_id, then window by signature hash) — both on bounded
+    keys; the signature fold is sort_array(collect_list(...)) like the
+    document render (A1), so no per-row Python anywhere.
+    """
+    parts: list[Column] = []
+    for c in sig_cols:
+        parts.append(F.coalesce(F.col(c), F.lit("")))
+        parts.append(F.lit("~"))
+    payload = F.concat(*parts[:-1]) if parts else F.lit("")
+    st = F.struct(F.col(turn_col).alias("t"), payload.alias("p"))
+    folded = df.groupBy(conv_col).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(st)), lambda x: x["p"]
+                ),
+                "|",
+            ).cast("binary")
+        ).alias("sig_md5")
+    )
+    w = Window.partitionBy("sig_md5")
+    return folded.select(
+        F.col(conv_col),
+        "sig_md5",
+        F.min(conv_col).over(w).alias("canonical_conv_id"),
+        (F.col(conv_col) != F.min(conv_col).over(w)).alias("is_dup"),
+    )
+
+
+def turn_loops(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Agent-loop detection: repeated identical (role, payload) turns
+    inside one conversation.
+
+    A stuck agent re-emits the same response; a broken scrape repeats a
+    page.  Payload is coalesce(text, '') so repeating EMPTY turns of the
+    same role (the commonest stuck-loop signature) are counted too.
+    Emits per conversation: n_loop_turns (turns beyond the first
+    occurrence of their payload) and max_repeat (the largest identical
+    run's size).  Every conversation appears (0 / 1 for loop-free ones).
+
+    Two groupBys, both keyed by conv_id (+ bounded payload) — the
+    map-side-combinable two-phase count; no window, no self-join.
+    """
+    payload = F.concat(
+        F.coalesce(F.col(role_col), F.lit("")),
+        F.lit("~"),
+        F.coalesce(F.col(text_col), F.lit("")),
+    )
+    per_payload = df.groupBy(F.col(conv_col), payload.alias("_p")).agg(
+        F.count("*").alias("_c")
+    )
+    return per_payload.groupBy(conv_col).agg(
+        F.sum(F.col("_c") - 1).alias("n_loop_turns"),
+        F.max("_c").alias("max_repeat"),
+    )
+
+
+def tool_usage(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    tool_col: str = "tool",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-tool usage rollup over the transcripts table.
+
+    Emits per tool (NULL rendered 'none'): n_turns, n_convs (exact
+    distinct), avg_tokens (6-dp).  One groupBy on a tiny key domain —
+    map-side combine collapses it before the shuffle; countDistinct adds
+    the standard expand-aggregate, still bounded by |tools| x |convs|.
+    """
+    toks = estimated_tokens(F.col(text_col))
+    return df.groupBy(
+        F.coalesce(F.col(tool_col), F.lit("none")).alias("tool")
+    ).agg(
+        F.count("*").alias("n_turns"),
+        F.countDistinct(conv_col).alias("n_convs"),
+        F.round(F.avg(toks), 6).alias("avg_tokens"),
+    )

@@ -22,9 +22,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import html as hf
 from ..functions import keys as kf
 from ..functions import text as tf
-from ..operators import dedup, lm, lww, resolve, similarity
+from ..operators import dedup, lm, lww, resolve, similarity, transcript
 
 CDC_PAYLOAD = ["role", "text", "tool"]
 
@@ -3803,6 +3804,219 @@ def q_docs_incremental_dedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# transcript-native post-processing (operators/transcript.py) — the
+# per-conversation steps a training pipeline runs AFTER the CDC apply; all
+# over the same final-state table / CDC_FINAL_STATE_SQL oracle
+# --------------------------------------------------------------------------
+
+# tokens est: ceil(chars/4) min 1, NULL -> 0 (transcript.estimated_tokens)
+_EST_TOKENS_SQL = (
+    "CASE WHEN text IS NULL THEN 0 "
+    "ELSE greatest(1, CAST(ceil(length(text)/4.0) AS BIGINT)) END"
+)
+
+CONV_ROLE_ALTERNATION_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL}),
+seq AS (
+  SELECT conv_id, turn_idx, coalesce(role, chr(1)) AS r,
+         lag(coalesce(role, chr(1))) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM final
+)
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(DISTINCT r) AS BIGINT) AS n_roles,
+  CAST(count(*) FILTER (WHERE rn > 1 AND prev = r) AS BIGINT) AS n_role_repeats,
+  arg_min(CASE WHEN r = chr(1) THEN '' ELSE r END, turn_idx) AS first_role,
+  arg_max(CASE WHEN r = chr(1) THEN '' ELSE r END, turn_idx) AS last_role,
+  count(*) FILTER (WHERE rn > 1 AND prev = r) = 0 AS alternates
+FROM seq GROUP BY conv_id
+"""
+
+
+def q_conv_role_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialogue-structure validation over the applied transcripts table
+    (per-document validate-and-route, Jhove.kt:55-112, at conversation
+    granularity). Single conv_id shuffle — see operators/transcript.py."""
+    return transcript.role_alternation(q_cdc_lww_final_state(spark, sf_dir))
+
+
+CONV_LOSS_MASK_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL}),
+t AS (
+  SELECT conv_id, turn_idx, role, {_EST_TOKENS_SQL} AS n_tokens
+  FROM final
+)
+SELECT conv_id, turn_idx,
+  (coalesce(role, '') = 'purchase' AND n_tokens > 0) AS train,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS token_start
+FROM t
+"""
+
+
+def q_conv_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT loss-mask construction: completion-role turns are trained on;
+    token_start is the turn's cumulative offset in its conversation."""
+    return transcript.loss_mask(
+        q_cdc_lww_final_state(spark, sf_dir), completion_role="purchase"
+    )
+
+
+CONV_TRUNCATE_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL}),
+t AS (
+  SELECT conv_id, turn_idx, {_EST_TOKENS_SQL} AS n_tokens
+  FROM final
+),
+r AS (
+  SELECT conv_id, turn_idx, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_cum_tokens
+  FROM t
+)
+SELECT conv_id, turn_idx, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(rev_cum_tokens AS BIGINT) AS rev_cum_tokens
+FROM r WHERE rev_cum_tokens <= 12
+"""
+
+
+def q_conv_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation: the longest whole-turn SUFFIX of each
+    conversation that fits a 12-token budget (recency-preserving)."""
+    return transcript.truncate_to_budget(
+        q_cdc_lww_final_state(spark, sf_dir), budget=12
+    )
+
+
+CONV_STRUCTURE_DEDUP_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL}),
+f AS (
+  SELECT conv_id,
+    md5(string_agg(coalesce(role, '') || '~' || coalesce(tool, ''), '|'
+        ORDER BY turn_idx)) AS sig_md5
+  FROM final GROUP BY conv_id
+)
+SELECT conv_id, sig_md5,
+  min(conv_id) OVER (PARTITION BY sig_md5) AS canonical_conv_id,
+  conv_id <> min(conv_id) OVER (PARTITION BY sig_md5) AS is_dup
+FROM f
+"""
+
+
+def q_conv_structure_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level dedup by interaction structure (ordered
+    role~tool signature) — the template/boilerplate-conversation
+    detector; canonical = min conv_id (keep-first dedup,
+    RenameS3Utils.kt:52)."""
+    return transcript.structure_dedup(q_cdc_lww_final_state(spark, sf_dir))
+
+
+CONV_TURN_LOOPS_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL}),
+g AS (
+  SELECT conv_id,
+         coalesce(role, '') || '~' || coalesce(text, '') AS p,
+         count(*) AS c
+  FROM final GROUP BY 1, 2
+)
+SELECT conv_id, CAST(SUM(c - 1) AS BIGINT) AS n_loop_turns,
+       CAST(max(c) AS BIGINT) AS max_repeat
+FROM g GROUP BY conv_id
+"""
+
+
+def q_conv_turn_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-loop detection: identical (role, payload) turns repeating
+    within one conversation (empty payloads count — the commonest
+    stuck-loop signature)."""
+    return transcript.turn_loops(q_cdc_lww_final_state(spark, sf_dir))
+
+
+CONV_TOOL_STATS_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL})
+SELECT coalesce(tool, 'none') AS tool,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+  round(avg({_EST_TOKENS_SQL}), 6) AS avg_tokens
+FROM final GROUP BY 1
+"""
+
+
+def q_conv_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool usage rollup over the transcripts table (tiny key
+    domain — map-side combine collapses it pre-shuffle)."""
+    return transcript.tool_usage(q_cdc_lww_final_state(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# HTML → text extraction (functions/html.py) — the web-scrape-to-training-
+# text step; construct→extract roundtrip on both engines (xml_extract's
+# pattern), patterns in the Java∩RE2 dialect like docs_pii_scrub
+# --------------------------------------------------------------------------
+
+_HTML_PARTS_SQL = (
+    "'<html><head><title>Doc &amp; ' || CAST(doc_id AS VARCHAR) || "
+    "'</title><style>body .m 1</style></head>"
+    "<body><script type=\"text/javascript\">var x = 1 < 2;</script>"
+    "<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+    "'</p><div>lang: ' || lang || '</div></body></html>'"
+)
+
+
+def _html_doc_expr() -> F.Column:
+    return F.concat(
+        F.lit("<html><head><title>Doc &amp; "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>body .m 1</style></head>"
+              '<body><script type="text/javascript">var x = 1 < 2;</script>'
+              "<h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>lang: "),
+        F.col("lang"),
+        F.lit("</div></body></html>"),
+    )
+
+
+DOCS_HTML_EXTRACT_SQL = f"""
+WITH h AS (
+  SELECT doc_id, {_HTML_PARTS_SQL} AS html
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  {hf.html_title_sql('html')} AS title,
+  {hf.html_to_text_sql('html')} AS clean_text,
+  CAST(length({hf.html_to_text_sql('html')}) AS BIGINT) AS n_chars,
+  md5({hf.html_to_text_sql('html')}) AS text_md5
+FROM h
+"""
+
+
+def q_docs_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction roundtrip: deterministically wrap each
+    document in HTML (title with an entity, script with a bare '<',
+    style subtree, break tags), then extract title + readable text.
+    Every stage is a JVM regexp in the Java∩RE2 dialect — zero shuffle,
+    one whole-stage-codegen projection; md5 pins the full cleaned text
+    byte-for-byte against the oracle."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    h = docs.select("doc_id", _html_doc_expr().alias("html"))
+    clean = hf.html_to_text(F.col("html"))
+    return h.select(
+        "doc_id",
+        hf.html_title(F.col("html")).alias("title"),
+        clean.alias("clean_text"),
+        F.length(clean).cast("long").alias("n_chars"),
+        F.md5(clean.cast("binary")).alias("text_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3878,6 +4092,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_shuffle": q_docs_shuffle,
     "docs_oov_rate": q_docs_oov_rate,
     "conv_training_examples": q_conv_training_examples,
+    "conv_role_alternation": q_conv_role_alternation,
+    "conv_loss_mask": q_conv_loss_mask,
+    "conv_truncate": q_conv_truncate,
+    "conv_structure_dedup": q_conv_structure_dedup,
+    "conv_turn_loops": q_conv_turn_loops,
+    "conv_tool_stats": q_conv_tool_stats,
+    "docs_html_extract": q_docs_html_extract,
     "docs_lm_score": q_docs_lm_score,
     "docs_tfidf": q_docs_tfidf,
     "docs_bloom_dedup": q_docs_bloom_dedup,
@@ -3966,6 +4187,13 @@ ORACLES: dict[str, str] = {
     "conv_training_examples": CONV_TRAINING_EXAMPLES_SQL_TMPL.format(
         final_state=CDC_FINAL_STATE_SQL
     ),
+    "conv_role_alternation": CONV_ROLE_ALTERNATION_SQL,
+    "conv_loss_mask": CONV_LOSS_MASK_SQL,
+    "conv_truncate": CONV_TRUNCATE_SQL,
+    "conv_structure_dedup": CONV_STRUCTURE_DEDUP_SQL,
+    "conv_turn_loops": CONV_TURN_LOOPS_SQL,
+    "conv_tool_stats": CONV_TOOL_STATS_SQL,
+    "docs_html_extract": DOCS_HTML_EXTRACT_SQL,
     "docs_lm_score": DOCS_LM_SCORE_SQL,
     "docs_tfidf": DOCS_TFIDF_SQL,
     "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,
