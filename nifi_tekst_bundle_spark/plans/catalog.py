@@ -3952,6 +3952,44 @@ def q_conv_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcript.tool_usage(q_cdc_lww_final_state(spark, sf_dir))
 
 
+def q_cdc_bootstrap_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap-then-tail ingestion (operators/bootstrap.py): consistent
+    snapshot at an LSN watermark (60% of the log) bulk-imported as ONE
+    fenced commit, then the change stream strictly after the watermark
+    tailed through the checkpointed streaming runner. Final visible state
+    must equal the full replay bit-for-bit — same DuckDB oracle as every
+    other final-state path. The production 'existing source database'
+    onboarding shape: history enters as a parallel columnar import, only
+    the delta replays event-by-event."""
+    from ..fixtures import write_binlog_segments
+    from ..operators import bootstrap
+    from ..streaming import runner
+    from ..table.lake import LakeTable
+
+    events = derive_change_events(spark, sf_dir).cache()
+    good, _dead = resolve.validate(events, [])
+    normalized = good.select(
+        "lsn", "batch_id", "op", "conv_id", "turn_idx", *CDC_PAYLOAD
+    )
+    watermark = int(events.agg(F.max("lsn")).first()[0] * 0.6)
+
+    tmp = tempfile.mkdtemp(prefix="cdc_bootstrap_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "table"), payload_cols=CDC_PAYLOAD, n_buckets=8
+    )
+    bootstrap.bootstrap_table(spark, table, normalized, watermark, CDC_PAYLOAD)
+
+    tail = events.filter(F.col("lsn") > watermark)
+    flat = os.path.join(tmp, "flat")
+    write_binlog_segments(tail, flat)
+    runner.run_to_completion(
+        spark, flat, table, os.path.join(tmp, "ckpt"), run_id="bootstrap-tail",
+        max_files_per_trigger=2,
+    )
+    events.unpersist()
+    return table.visible(spark)
+
+
 # --------------------------------------------------------------------------
 # HTML → text extraction (functions/html.py) — the web-scrape-to-training-
 # text step; construct→extract roundtrip on both engines (xml_extract's
@@ -4099,6 +4137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_turn_loops": q_conv_turn_loops,
     "conv_tool_stats": q_conv_tool_stats,
     "docs_html_extract": q_docs_html_extract,
+    "cdc_bootstrap_tail": q_cdc_bootstrap_tail,
     "docs_lm_score": q_docs_lm_score,
     "docs_tfidf": q_docs_tfidf,
     "docs_bloom_dedup": q_docs_bloom_dedup,
@@ -4194,6 +4233,7 @@ ORACLES: dict[str, str] = {
     "conv_turn_loops": CONV_TURN_LOOPS_SQL,
     "conv_tool_stats": CONV_TOOL_STATS_SQL,
     "docs_html_extract": DOCS_HTML_EXTRACT_SQL,
+    "cdc_bootstrap_tail": CDC_FINAL_STATE_SQL,
     "docs_lm_score": DOCS_LM_SCORE_SQL,
     "docs_tfidf": DOCS_TFIDF_SQL,
     "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,
