@@ -148,7 +148,9 @@ def truncate_to_budget(
     token count and reverse-cumulative total.
 
     One window (conv_id partition, turn_idx DESC order) — single
-    shuffle; the filter is a pure narrow post-window predicate.
+    shuffle; the filter is a pure narrow post-window predicate. All of
+    ``df``'s columns ride through so the output is the truncated table
+    itself, not just an index of kept turns.
     """
     toks = estimated_tokens(F.col(text_col))
     w = (
@@ -158,8 +160,7 @@ def truncate_to_budget(
     )
     return (
         df.select(
-            F.col(conv_col),
-            F.col(turn_col),
+            "*",
             toks.alias("n_tokens"),
             F.sum(toks).over(w).cast("long").alias("rev_cum_tokens"),
         )
@@ -244,6 +245,47 @@ def turn_loops(
     return per_payload.groupBy(conv_col).agg(
         F.sum(F.col("_c") - 1).alias("n_loop_turns"),
         F.max("_c").alias("max_repeat"),
+    )
+
+
+def clean_transcripts(
+    df: DataFrame,
+    budget: int,
+    max_repeat_rate: float = 0.25,
+    max_turn_repeat: int = 3,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+) -> DataFrame:
+    """The composed transcript-prep pipeline: validation gate → structure
+    dedup → loop filter → context-window truncation, in one plan.
+
+    Keeps conversations that (a) pass the dialogue-structure gate
+    (consecutive-same-role rate <= ``max_repeat_rate``), (b) are the
+    canonical representative of their interaction-structure signature,
+    and (c) never repeat one (role, payload) turn more than
+    ``max_turn_repeat`` times; then truncates survivors to the longest
+    whole-turn suffix within ``budget`` tokens.  Output is the
+    training-ready turn table (all payload columns + n_tokens).
+
+    Plan shape: every stage keys on conv_id, so the three gate
+    aggregates and the final semi-joins all reuse one hash partitioning
+    (AQE coalesces; the joins are conv-keyed, never corpus-row-keyed) —
+    the same composition story as the documents-side clean_corpus.
+    """
+    alt = role_alternation(df, conv_col, turn_col).filter(
+        F.col("n_role_repeats") <= F.col("n_turns") * max_repeat_rate
+    )
+    nodup = structure_dedup(df, conv_col, turn_col).filter(~F.col("is_dup"))
+    noloop = turn_loops(df, conv_col).filter(
+        F.col("max_repeat") <= max_turn_repeat
+    )
+    keep = (
+        alt.select(conv_col)
+        .join(nodup.select(conv_col), conv_col)
+        .join(noloop.select(conv_col), conv_col)
+    )
+    return truncate_to_budget(
+        df.join(keep, conv_col), budget, conv_col, turn_col
     )
 
 

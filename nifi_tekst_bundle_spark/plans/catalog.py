@@ -3869,16 +3869,17 @@ def q_conv_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONV_TRUNCATE_SQL = f"""
 WITH final AS ({CDC_FINAL_STATE_SQL}),
 t AS (
-  SELECT conv_id, turn_idx, {_EST_TOKENS_SQL} AS n_tokens
+  SELECT conv_id, turn_idx, role, text, tool, {_EST_TOKENS_SQL} AS n_tokens
   FROM final
 ),
 r AS (
-  SELECT conv_id, turn_idx, n_tokens,
+  SELECT conv_id, turn_idx, role, text, tool, n_tokens,
     SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_cum_tokens
   FROM t
 )
-SELECT conv_id, turn_idx, CAST(n_tokens AS BIGINT) AS n_tokens,
+SELECT conv_id, turn_idx, role, text, tool,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(rev_cum_tokens AS BIGINT) AS rev_cum_tokens
 FROM r WHERE rev_cum_tokens <= 12
 """
@@ -3950,6 +3951,73 @@ def q_conv_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tool usage rollup over the transcripts table (tiny key
     domain — map-side combine collapses it pre-shuffle)."""
     return transcript.tool_usage(q_cdc_lww_final_state(spark, sf_dir))
+
+
+CLEAN_TRANSCRIPTS_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL}),
+seq AS (
+  SELECT conv_id, coalesce(role, chr(1)) AS r,
+         lag(coalesce(role, chr(1))) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM final
+),
+alt AS (
+  SELECT conv_id FROM seq GROUP BY conv_id
+  HAVING count(*) FILTER (WHERE rn > 1 AND prev = r) <= count(*) * 0.25
+),
+sig AS (
+  SELECT conv_id,
+    md5(string_agg(coalesce(role, '') || '~' || coalesce(tool, ''), '|'
+        ORDER BY turn_idx)) AS sig_md5
+  FROM final GROUP BY conv_id
+),
+nodup AS (
+  SELECT conv_id FROM (
+    SELECT conv_id,
+           conv_id = min(conv_id) OVER (PARTITION BY sig_md5) AS is_rep
+    FROM sig
+  ) WHERE is_rep
+),
+loops AS (
+  SELECT conv_id FROM (
+    SELECT conv_id, coalesce(role, '') || '~' || coalesce(text, '') AS p,
+           count(*) AS c
+    FROM final GROUP BY 1, 2
+  ) GROUP BY conv_id HAVING max(c) <= 3
+),
+keep AS (
+  SELECT conv_id FROM alt
+  INTERSECT SELECT conv_id FROM nodup
+  INTERSECT SELECT conv_id FROM loops
+),
+t AS (
+  SELECT f.conv_id, f.turn_idx, f.role, f.text, f.tool,
+         {_EST_TOKENS_SQL} AS n_tokens
+  FROM final f JOIN keep USING (conv_id)
+),
+r AS (
+  SELECT conv_id, turn_idx, role, text, tool, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_cum_tokens
+  FROM t
+)
+SELECT conv_id, turn_idx, role, text, tool,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(rev_cum_tokens AS BIGINT) AS rev_cum_tokens
+FROM r WHERE rev_cum_tokens <= 12
+"""
+
+
+def q_clean_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transcript prep: structure gate (repeat rate <= 25%) →
+    structure-dedup canonical only → loop filter (max identical turn
+    run <= 3) → 12-token whole-turn suffix truncation. The transcripts
+    counterpart of clean_corpus — one composed plan, every stage keyed
+    by conv_id."""
+    return transcript.clean_transcripts(
+        q_cdc_lww_final_state(spark, sf_dir), budget=12
+    )
 
 
 def q_cdc_bootstrap_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4138,6 +4206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_tool_stats": q_conv_tool_stats,
     "docs_html_extract": q_docs_html_extract,
     "cdc_bootstrap_tail": q_cdc_bootstrap_tail,
+    "clean_transcripts": q_clean_transcripts,
     "docs_lm_score": q_docs_lm_score,
     "docs_tfidf": q_docs_tfidf,
     "docs_bloom_dedup": q_docs_bloom_dedup,
@@ -4234,6 +4303,7 @@ ORACLES: dict[str, str] = {
     "conv_tool_stats": CONV_TOOL_STATS_SQL,
     "docs_html_extract": DOCS_HTML_EXTRACT_SQL,
     "cdc_bootstrap_tail": CDC_FINAL_STATE_SQL,
+    "clean_transcripts": CLEAN_TRANSCRIPTS_SQL,
     "docs_lm_score": DOCS_LM_SCORE_SQL,
     "docs_tfidf": DOCS_TFIDF_SQL,
     "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,

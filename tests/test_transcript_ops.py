@@ -125,6 +125,44 @@ def test_tool_usage_rollup(spark):
     assert out["none"]["avg_tokens"] == 1.0
 
 
+def test_clean_transcripts_composed_gates(spark):
+    """Each gate independently removes its target conversation; the
+    survivor comes out truncated to the budget."""
+    rows = [
+        # a_ok: alternating, no loops, canonical for its structure
+        # (it sorts before its structural twin c_dup)
+        ("a_ok", 0, "user", "x" * 8, None),        # 2 tokens
+        ("a_ok", 1, "assistant", "x" * 4, "t1"),   # 1 token
+        ("a_ok", 2, "user", "x" * 8, None),        # 2 tokens
+        # c_rep: all same role -> repeat rate 3/4 > 0.25 (alternation gate)
+        ("c_rep", 0, "user", "u0", None),
+        ("c_rep", 1, "user", "u1", None),
+        ("c_rep", 2, "user", "u2", None),
+        ("c_rep", 3, "user", "u3", None),
+        # c_dup: same (role, tool) structure as a_ok -> structure-dedup gate
+        ("c_dup", 0, "user", "different a", None),
+        ("c_dup", 1, "assistant", "different b", "t1"),
+        ("c_dup", 2, "user", "different c", None),
+        # c_loop: perfectly alternating roles, but 'assistant~same' appears
+        # 4 times (> max_turn_repeat 3) -> loop gate only
+        ("c_loop", 0, "user", "q", None),
+        ("c_loop", 1, "assistant", "same", None),
+        ("c_loop", 2, "user", "a", None),
+        ("c_loop", 3, "assistant", "same", None),
+        ("c_loop", 4, "user", "b", None),
+        ("c_loop", 5, "assistant", "same", None),
+        ("c_loop", 6, "user", "c", None),
+        ("c_loop", 7, "assistant", "same", None),
+    ]
+    df = _tr(spark, rows)
+    out = transcript.clean_transcripts(df, budget=3).collect()
+    assert {r["conv_id"] for r in out} == {"a_ok"}
+    # budget 3: suffix sums from the end: t2=2, t1=3, t0=5 -> keep t1,t2
+    assert sorted(r["turn_idx"] for r in out) == [1, 2]
+    # payload columns ride through
+    assert {r["turn_idx"]: r["role"] for r in out} == {1: "assistant", 2: "user"}
+
+
 def test_transcript_ops_single_shuffle_no_python(spark):
     """Plan pins: each per-conversation operator shuffles exactly once
     (on conv_id) and keeps every expression JVM-side (no BatchEvalPython /
