@@ -441,6 +441,39 @@ def kmeans_ivf_topk(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Corpus organization: per-vector cluster assignment over the
+    deterministic Lloyd cells, plus each cluster's exact size — the
+    "cluster the corpus, then sample/balance by cluster" step of a
+    training-data pipeline (cluster-balanced sampling, semantic sharding,
+    topic pruning all start from this table).
+
+    Scale shape: assignment is the same narrow literal argmax fold as
+    kmeans_ivf_topk (zero shuffle); sizes are ONE map-side-combinable
+    groupBy collapsing to n_centroids rows, broadcast back onto the
+    assignment — deliberately NOT a count window over cid, which would
+    hash the whole corpus into n_centroids partitions (the classic
+    low-cardinality window skew trap at 100 TB).
+    """
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iter)
+    asg = corpus.select(
+        F.col(id_col),
+        _argmax_centroid(F.col(vec_col), cents).alias("cid"),
+    )
+    sizes = asg.groupBy("cid").agg(F.count("*").alias("cluster_size"))
+    return asg.join(F.broadcast(sizes), "cid").select(
+        F.col(id_col),
+        F.col("cid").cast("int").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     anchors: DataFrame,

@@ -1546,28 +1546,14 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ivf_sql(
-    n_centroids: int = 8, n_iter: int = 2, n_probe: int = 2, k: int = 5,
-    quant: int = 1_000_000,
+def _kmeans_cells_sql(
+    n_centroids: int = 8, n_iter: int = 2, quant: int = 1_000_000,
 ) -> str:
-    """DuckDB replica of similarity.kmeans_ivf_topk — the fixed-iteration
-    Lloyd loop UNROLLED into a generated CTE chain (c0 → a1/s1/c1 → …).
-    Bit-for-bit reproducible because the engine was designed for it:
-    hash-seeded init (md5 order), centroid means from exact integer sums
-    (floor(x*q + 0.5) longs — associative, partition-order-independent),
-    and score folds evaluated in the same sequential order on both
-    engines, so every assignment comparison sees identical doubles.
-
-    Assignment/probe ordering uses dot/||centroid|| (NOT full cosine):
-    the row norm is a shared positive factor that cannot change the
-    argmax, and the engine skips it (similarity._cent_score) — the oracle
-    must order by the IDENTICAL expression or near-ties could round
-    differently. The final top-k output still reports full cosine."""
+    """Shared DuckDB replica of the deterministic Lloyd loop
+    (similarity.kmeans_centroids) unrolled into a CTE chain ending in
+    ``cells`` — per-vector (vec_id, v, cid) final assignments. Used by
+    both the IVF top-k and cluster-assignment oracles."""
     score = _DOT.format(a="{v}", b="{c}") + " / " + _NRM.format(a="{c}")
-    fullcos = (
-        _DOT.format(a="{v}", b="{c}")
-        + " / (" + _NRM.format(a="{v}") + " * " + _NRM.format(a="{c}") + ")"
-    )
     parts = [f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1602,8 +1588,6 @@ c{t} AS (
   FROM s{t} GROUP BY cid
 )""")
     fcos = score.format(v="e.v", c="c.cvec")
-    qcos = score.format(v="q.qv", c="c.cvec")
-    scos = fullcos.format(v="s.v", c="p.qv")
     parts.append(f""",
 cells AS (
   SELECT vec_id, v, cid FROM (
@@ -1612,7 +1596,36 @@ cells AS (
                          ORDER BY {fcos} DESC, c.cid ASC) AS rn
     FROM e CROSS JOIN c{n_iter} c
   ) WHERE rn = 1
-),
+)""")
+    return "".join(parts)
+
+
+def _kmeans_ivf_sql(
+    n_centroids: int = 8, n_iter: int = 2, n_probe: int = 2, k: int = 5,
+    quant: int = 1_000_000,
+) -> str:
+    """DuckDB replica of similarity.kmeans_ivf_topk — the fixed-iteration
+    Lloyd loop UNROLLED into a generated CTE chain (c0 → a1/s1/c1 → …).
+    Bit-for-bit reproducible because the engine was designed for it:
+    hash-seeded init (md5 order), centroid means from exact integer sums
+    (floor(x*q + 0.5) longs — associative, partition-order-independent),
+    and score folds evaluated in the same sequential order on both
+    engines, so every assignment comparison sees identical doubles.
+
+    Assignment/probe ordering uses dot/||centroid|| (NOT full cosine):
+    the row norm is a shared positive factor that cannot change the
+    argmax, and the engine skips it (similarity._cent_score) — the oracle
+    must order by the IDENTICAL expression or near-ties could round
+    differently. The final top-k output still reports full cosine."""
+    score = _DOT.format(a="{v}", b="{c}") + " / " + _NRM.format(a="{c}")
+    fullcos = (
+        _DOT.format(a="{v}", b="{c}")
+        + " / (" + _NRM.format(a="{v}") + " * " + _NRM.format(a="{c}") + ")"
+    )
+    parts = [_kmeans_cells_sql(n_centroids, n_iter, quant)]
+    qcos = score.format(v="q.qv", c="c.cvec")
+    scos = fullcos.format(v="s.v", c="p.qv")
+    parts.append(f""",
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
 probes AS (
   SELECT query_id, qv, cid FROM (
@@ -1638,6 +1651,28 @@ SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {k}
 
 
 IVF_KMEANS_TOPK_SQL = _kmeans_ivf_sql()
+
+EMB_KMEANS_CLUSTERS_SQL = _kmeans_cells_sql() + """,
+sizes AS (SELECT cid, count(*) AS cluster_size FROM cells GROUP BY cid)
+SELECT s.vec_id, CAST(s.cid AS INT) AS cluster_id,
+       CAST(z.cluster_size AS BIGINT) AS cluster_size
+FROM cells s JOIN sizes z USING (cid)
+"""
+
+
+def q_emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering table (similarity.kmeans_assign): per-vector
+    deterministic-Lloyd cell + exact cluster size — the starting table
+    for cluster-balanced sampling / semantic sharding. Assignment is a
+    zero-shuffle literal argmax; sizes collapse map-side to n_centroids
+    rows and broadcast back (never a low-cardinality count window)."""
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return similarity.kmeans_assign(emb, n_centroids=8, n_iter=2)
 
 
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4207,6 +4242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_html_extract": q_docs_html_extract,
     "cdc_bootstrap_tail": q_cdc_bootstrap_tail,
     "clean_transcripts": q_clean_transcripts,
+    "emb_kmeans_clusters": q_emb_kmeans_clusters,
     "docs_lm_score": q_docs_lm_score,
     "docs_tfidf": q_docs_tfidf,
     "docs_bloom_dedup": q_docs_bloom_dedup,
@@ -4304,6 +4340,7 @@ ORACLES: dict[str, str] = {
     "docs_html_extract": DOCS_HTML_EXTRACT_SQL,
     "cdc_bootstrap_tail": CDC_FINAL_STATE_SQL,
     "clean_transcripts": CLEAN_TRANSCRIPTS_SQL,
+    "emb_kmeans_clusters": EMB_KMEANS_CLUSTERS_SQL,
     "docs_lm_score": DOCS_LM_SCORE_SQL,
     "docs_tfidf": DOCS_TFIDF_SQL,
     "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,

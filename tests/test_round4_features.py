@@ -94,6 +94,36 @@ def test_kmeans_centroids_deterministic_and_balanced(spark):
     assert counts[-1] < e.count()  # not everything in one cell
 
 
+def test_kmeans_assign_sizes_exact_and_no_count_window(spark):
+    """kmeans_assign covers every vector exactly once, sizes are exact
+    per-cluster counts, and the plan contains NO window operator (sizes
+    come from a broadcast-joined groupBy — a count window over the
+    n_centroids-ary cid would funnel the corpus into n_centroids
+    partitions at scale)."""
+    e = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    out = similarity.kmeans_assign(e, n_centroids=6, n_iter=2)
+    rows = out.collect()
+    assert len(rows) == e.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    import collections
+
+    by_cluster = collections.Counter(r["cluster_id"] for r in rows)
+    for r in rows:
+        assert r["cluster_size"] == by_cluster[r["cluster_id"]]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_chunk_overlap_covers_every_token(spark):
     """docs_chunk_overlap: chunk spans must tile every token index of
     every doc (stride < width ⇒ each interior token appears in ≥1 chunk,
