@@ -289,6 +289,34 @@ def clean_transcripts(
     )
 
 
+def boilerplate_turns(
+    df: DataFrame,
+    min_convs: int = 3,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canned-response detection: turn texts that recur across many
+    DISTINCT conversations (scripted greetings, template refusals,
+    capability blurbs) — the transcripts analogue of the documents-side
+    cross-doc boilerplate scan, at turn granularity.  Emits
+    (text, n_convs, n_turns) for texts seen in >= ``min_convs``
+    conversations; downstream cleaning anti-joins turns against it.
+
+    One groupBy on the text key (map-side combinable; count-distinct
+    adds the standard expand) — no self-join, no window; hot texts are
+    exactly what the scan is looking for and arrive pre-combined.
+    """
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(text_col)
+        .agg(
+            F.countDistinct(conv_col).alias("n_convs"),
+            F.count("*").alias("n_turns"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )
+
+
 def tool_usage(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -3988,6 +3988,24 @@ def q_conv_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcript.tool_usage(q_cdc_lww_final_state(spark, sf_dir))
 
 
+CONV_BOILERPLATE_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL})
+SELECT text, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM final WHERE text IS NOT NULL
+GROUP BY text HAVING count(DISTINCT conv_id) >= 3
+"""
+
+
+def q_conv_boilerplate_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned-response scan over the transcripts table: turn texts
+    recurring in >= 3 distinct conversations (transcript.boilerplate_turns
+    — one map-side-combinable text-keyed agg, no self-join)."""
+    return transcript.boilerplate_turns(
+        q_cdc_lww_final_state(spark, sf_dir), min_convs=3
+    )
+
+
 CLEAN_TRANSCRIPTS_SQL = f"""
 WITH final AS ({CDC_FINAL_STATE_SQL}),
 seq AS (
@@ -4243,6 +4261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_bootstrap_tail": q_cdc_bootstrap_tail,
     "clean_transcripts": q_clean_transcripts,
     "emb_kmeans_clusters": q_emb_kmeans_clusters,
+    "conv_boilerplate_turns": q_conv_boilerplate_turns,
     "docs_lm_score": q_docs_lm_score,
     "docs_tfidf": q_docs_tfidf,
     "docs_bloom_dedup": q_docs_bloom_dedup,
@@ -4341,6 +4360,7 @@ ORACLES: dict[str, str] = {
     "cdc_bootstrap_tail": CDC_FINAL_STATE_SQL,
     "clean_transcripts": CLEAN_TRANSCRIPTS_SQL,
     "emb_kmeans_clusters": EMB_KMEANS_CLUSTERS_SQL,
+    "conv_boilerplate_turns": CONV_BOILERPLATE_SQL,
     "docs_lm_score": DOCS_LM_SCORE_SQL,
     "docs_tfidf": DOCS_TFIDF_SQL,
     "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,

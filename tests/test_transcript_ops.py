@@ -163,6 +163,28 @@ def test_clean_transcripts_composed_gates(spark):
     assert {r["turn_idx"]: r["role"] for r in out} == {1: "assistant", 2: "user"}
 
 
+def test_boilerplate_turns_requires_distinct_convs(spark):
+    """Only texts spread across >= min_convs DISTINCT conversations are
+    boilerplate; a text repeated many times inside ONE conversation is a
+    loop (turn_loops' job), not boilerplate."""
+    rows = (
+        # 'canned' in 3 conversations (4 turns total)
+        [("c1", 0, "assistant", "canned", None),
+         ("c2", 0, "assistant", "canned", None),
+         ("c3", 0, "assistant", "canned", None),
+         ("c3", 1, "assistant", "canned", None)]
+        # 'looped' 3 times but inside one conversation
+        + [("c4", i, "assistant", "looped", None) for i in range(3)]
+        # nulls never count
+        + [("c5", 0, "user", None, None), ("c6", 0, "user", None, None),
+           ("c7", 0, "user", None, None)]
+    )
+    out = {r["text"]: r for r in transcript.boilerplate_turns(
+        _tr(spark, rows), min_convs=3).collect()}
+    assert set(out) == {"canned"}
+    assert out["canned"]["n_convs"] == 3 and out["canned"]["n_turns"] == 4
+
+
 def test_transcript_ops_single_shuffle_no_python(spark):
     """Plan pins: each per-conversation operator shuffles exactly once
     (on conv_id) and keeps every expression JVM-side (no BatchEvalPython /
