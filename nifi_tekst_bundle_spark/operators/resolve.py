@@ -68,6 +68,11 @@ def validate(events: DataFrame, promoted: list[str]) -> tuple[DataFrame, DataFra
             F.col("op").isNull() | ~F.col("op").isin(*VALID_OPS),
             F.lit("bad_op"),
         )
+        # lsn is the LWW total order; an event without one cannot be
+        # sequenced (wire adapters emit NULL lsn when a binlog position
+        # fails to parse — sources/maxwell.py keeps the raw line in
+        # extra['_raw'] for exactly this row)
+        .when(F.col("lsn").isNull(), F.lit("missing_lsn"))
         .when(F.col("conv_id").isNull() & (F.col("op") != "insert"), F.lit("missing_key"))
         .when(F.col("turn_idx").isNull(), F.lit("missing_key"))
         .when(

@@ -2384,6 +2384,35 @@ def q_cdc_debezium_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lww.visible(regs, CDC_PAYLOAD)
 
 
+def q_cdc_maxwell_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maxwell-daemon ingest: the derived change log serialized to
+    Maxwell JSON lines (type insert/update/delete, full row in ``data``,
+    binlog ``position`` — the OTHER de-facto MySQL binlog wire format),
+    parsed back through ``sources.maxwell.parse_maxwell`` (one JVM
+    from_json + two regexp position extracts, no Python, no shuffle
+    added), folded through the shared validate → LWW pipeline. Oracle is
+    CDC_FINAL_STATE_SQL verbatim — the adapter is lossless for
+    everything the fold reads (lsn via the monotone position embedding,
+    op, key, payload; batch_id intentionally renormalizes to Maxwell's
+    numeric xid, which the fold never reads). Same materialize-the-
+    envelope discipline as the Debezium roundtrip (envelopes are a
+    SOURCE in production; lazy serialize→parse→validate also clones the
+    from_json tree into pushed filters)."""
+    from ..sources import maxwell
+
+    events = derive_change_events(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    env = maxwell.to_maxwell(events).localCheckpoint(eager=True)
+    parsed = maxwell.parse_maxwell(env)
+    good, _dead = resolve.validate(parsed, [])
+    normalized = good.select(
+        "lsn", "batch_id", "op", "conv_id", "turn_idx", *CDC_PAYLOAD
+    )
+    regs = lww.batch_registers(normalized, CDC_PAYLOAD)
+    return lww.visible(regs, CDC_PAYLOAD)
+
+
 # Gap sessionization over the raw events stream. Both engines compute the
 # boundary flag from the SAME double subtraction (epoch seconds), so the
 # strict > comparison agrees even at an exact-1800s gap.
@@ -4262,6 +4291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_transcripts": q_clean_transcripts,
     "emb_kmeans_clusters": q_emb_kmeans_clusters,
     "conv_boilerplate_turns": q_conv_boilerplate_turns,
+    "cdc_maxwell_roundtrip": q_cdc_maxwell_roundtrip,
     "docs_lm_score": q_docs_lm_score,
     "docs_tfidf": q_docs_tfidf,
     "docs_bloom_dedup": q_docs_bloom_dedup,
@@ -4361,6 +4391,7 @@ ORACLES: dict[str, str] = {
     "clean_transcripts": CLEAN_TRANSCRIPTS_SQL,
     "emb_kmeans_clusters": EMB_KMEANS_CLUSTERS_SQL,
     "conv_boilerplate_turns": CONV_BOILERPLATE_SQL,
+    "cdc_maxwell_roundtrip": CDC_FINAL_STATE_SQL,
     "docs_lm_score": DOCS_LM_SCORE_SQL,
     "docs_tfidf": DOCS_TFIDF_SQL,
     "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,

@@ -77,6 +77,7 @@ DEAD_LETTER_REASONS = (
     "missing_key",  # no target key on a non-insert op
     "bad_op",
     "missing_move_source",  # move whose source row does not exist
+    "missing_lsn",  # no sequencing position (e.g. unparseable binlog pos)
 )
 
 # schema_version -> extra keys promoted to first-class string columns.
