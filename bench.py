@@ -77,6 +77,9 @@ HEADLINE = [
     "conv_truncate",
     "conv_structure_dedup",
     "docs_html_extract",
+    "clean_transcripts",
+    "emb_kmeans_clusters",
+    "cdc_maxwell_roundtrip",
     # production hash backend (xxhash64) — what a real 100-TB run uses; the
     # md5 twins above exist for DuckDB oracle bit-parity and stay listed so
     # the backend gap is visible in every BENCH artifact

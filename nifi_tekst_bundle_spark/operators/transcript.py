@@ -255,6 +255,7 @@ def clean_transcripts(
     max_turn_repeat: int = 3,
     conv_col: str = "conv_id",
     turn_col: str = "turn_idx",
+    materialize: bool = False,
 ) -> DataFrame:
     """The composed transcript-prep pipeline: validation gate → structure
     dedup → loop filter → context-window truncation, in one plan.
@@ -271,7 +272,19 @@ def clean_transcripts(
     aggregates and the final semi-joins all reuse one hash partitioning
     (AQE coalesces; the joins are conv-keyed, never corpus-row-keyed) —
     the same composition story as the documents-side clean_corpus.
+
+    ``materialize`` (default False — composition stays lazy, the
+    dedup-operator convention): the input is referenced by all three
+    gates plus the truncation, and Spark's exchange-reuse does NOT
+    collapse the four identical upstream subtrees (measured 4 scans /
+    0 ReusedExchange on the CDC-fold input), so True localCheckpoints
+    ``df`` once and the gates read executor-local blocks instead of
+    re-running the upstream plan 4x. Execution-point callers (the
+    catalog query, bench) opt in; see operators/dedup.py _maybe_ckpt
+    for the executor-loss caveat.
     """
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     alt = role_alternation(df, conv_col, turn_col).filter(
         F.col("n_role_repeats") <= F.col("n_turns") * max_repeat_rate
     )

@@ -4098,7 +4098,7 @@ def q_clean_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart of clean_corpus — one composed plan, every stage keyed
     by conv_id."""
     return transcript.clean_transcripts(
-        q_cdc_lww_final_state(spark, sf_dir), budget=12
+        q_cdc_lww_final_state(spark, sf_dir), budget=12, materialize=True
     )
 
 
