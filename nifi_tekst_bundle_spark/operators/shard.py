@@ -203,3 +203,53 @@ def pack_sequences(
     ).withColumn(
         "n_toks", F.col("doc_tok_end") - F.col("doc_tok_start")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-budget data mixing: deterministically sample each source to
+    its target token budget — the "mix 30% web, 20% code, ..." step that
+    turns per-source corpora into a training mixture measured in TOKENS,
+    not documents.
+
+    Per source, documents are ordered by md5(id) (replay-stable
+    pseudo-random, the stratified-sample convention) and the longest
+    PREFIX whose cumulative token count fits ``budgets[source]`` is
+    kept; sources absent from ``budgets`` are dropped (an explicit
+    mixture spec — silence is exclusion, not pass-through). Emits the
+    kept rows with ``cum_tokens`` so downstream audit can see how full
+    each source's budget ran.
+
+    Scale shape: ONE window partitioned by source (the same per-stratum
+    sort as docs_stratified_sample — at 10^10 docs a dominant source is
+    the skew case; AQE skew handling applies, and the two-phase chunked
+    prefix sum above is the drop-in replacement if one source outgrows
+    a partition). The budget lookup is a map LITERAL (bounded driver
+    metadata, broadcast with the plan); try_element_at keeps unknown
+    sources NULL → filtered, instead of erroring under ANSI mode.
+    """
+    entries: list[F.Column] = []
+    for k in sorted(budgets):
+        entries.append(F.lit(k))
+        entries.append(F.lit(int(budgets[k])))
+    bmap = F.create_map(*entries)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budget = F.try_element_at(bmap, F.col(source_col))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            F.col(tokens_col).cast("long").alias(tokens_col),
+            F.sum(tokens_col).over(w).cast("long").alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )

@@ -2682,6 +2682,50 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-budget data mixing: even-indexed sources get an 800-token budget,
+# odd-indexed 300 (a realistic asymmetric mixture; every source ends
+# partially sampled at sf>=0.01 since each holds ~1.3k tokens).
+_MIX_BUDGETS = {f"src{i}": (800 if i % 2 == 0 else 300) for i in range(20)}
+
+DOCS_TOKEN_MIXTURE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM r
+WHERE cum_tokens <= CASE
+  WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 2 = 0 THEN 800
+  ELSE 300 END
+"""
+
+
+def q_docs_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing step (shard.mixture_sample): per-source md5-ordered
+    prefix under an asymmetric token budget (even sources 800, odd 300).
+    The oracle expresses the same budgets arithmetically; the engine
+    takes them as the dict a real mixture spec would be."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda w: w != ""
+    )
+    t = docs.select(
+        "doc_id", "source", F.size(words).cast("long").alias("n_tokens")
+    )
+    from ..operators import shard
+
+    return shard.mixture_sample(t, _MIX_BUDGETS)
+
+
 # Global vocabulary top-k: the classic two-phase pattern — partial counts
 # map-side, one shuffle on the word, then TakeOrderedAndProject for the
 # top slice (no global sort materialization). (count DESC, word ASC) is a
@@ -4292,6 +4336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_kmeans_clusters": q_emb_kmeans_clusters,
     "conv_boilerplate_turns": q_conv_boilerplate_turns,
     "cdc_maxwell_roundtrip": q_cdc_maxwell_roundtrip,
+    "docs_token_mixture": q_docs_token_mixture,
     "docs_lm_score": q_docs_lm_score,
     "docs_tfidf": q_docs_tfidf,
     "docs_bloom_dedup": q_docs_bloom_dedup,
@@ -4392,6 +4437,7 @@ ORACLES: dict[str, str] = {
     "emb_kmeans_clusters": EMB_KMEANS_CLUSTERS_SQL,
     "conv_boilerplate_turns": CONV_BOILERPLATE_SQL,
     "cdc_maxwell_roundtrip": CDC_FINAL_STATE_SQL,
+    "docs_token_mixture": DOCS_TOKEN_MIXTURE_SQL,
     "docs_lm_score": DOCS_LM_SCORE_SQL,
     "docs_tfidf": DOCS_TFIDF_SQL,
     "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,

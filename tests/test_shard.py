@@ -134,3 +134,31 @@ def test_pack_sequences_no_global_sort(spark):
     out = shard.pack_sequences(df, "doc_id", "w", ctx_len=64)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_mixture_sample_budgets_and_determinism(spark):
+    """Each source keeps exactly the md5-ordered prefix that fits its
+    budget; unknown sources are dropped; replays are bit-identical."""
+    from pyspark.sql import functions as F
+
+    from nifi_tekst_bundle_spark.operators import shard
+
+    rows = [(i, "a" if i < 6 else ("b" if i < 12 else "zzz"), 10)
+            for i in range(18)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = shard.mixture_sample(df, {"a": 35, "b": 100})
+    got = sorted((r["source"], r["doc_id"], r["cum_tokens"]) for r in out.collect())
+    # a: budget 35 -> 3 docs of 10 tokens fit (cum 10,20,30; 40 > 35)
+    # b: budget 100 -> all 6 docs fit (cum <= 60)
+    # zzz: not in the mixture -> dropped
+    assert [g[0] for g in got] == ["a"] * 3 + ["b"] * 6
+    assert max(c for s, _, c in got if s == "a") == 30
+    assert max(c for s, _, c in got if s == "b") == 60
+    # md5-prefix determinism: same input, same kept set
+    again = sorted((r["source"], r["doc_id"], r["cum_tokens"])
+                   for r in shard.mixture_sample(df, {"a": 35, "b": 100}).collect())
+    assert got == again
+    # kept 'a' docs are the md5-rank prefix, not doc_id order
+    ranked = [r["doc_id"] for r in df.filter(F.col("source") == "a")
+              .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id").collect()]
+    assert sorted(g[1] for g in got if g[0] == "a") == sorted(ranked[:3])
