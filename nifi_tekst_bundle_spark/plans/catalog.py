@@ -273,8 +273,7 @@ _EV_SQL_MOVES = """
 # suppressed when the source key is also an upsert target of the same batch
 # (swap/cycle preservation, RenameS3Utils.kt:120-133), then everything folds
 # through the same per-key, per-column LWW registers as the engine.
-CDC_MOVES_SQL = f"""
-WITH ev AS ({_EV_SQL_MOVES}),
+_MOVES_CTES = f"""ev AS ({_EV_SQL_MOVES}),
 ev2 AS (
   SELECT lsn, batch_id, op,
          coalesce(conv_id, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0')) AS conv_id,
@@ -331,7 +330,10 @@ agg AS (
     coalesce(max(lsn) FILTER (WHERE op = 'delete'), -1) AS ldel,
     {_AGG}
   FROM norm GROUP BY conv_id, turn_idx
-)
+)"""
+
+CDC_MOVES_SQL = f"""
+WITH {_MOVES_CTES}
 SELECT conv_id, turn_idx, {_VIS} FROM agg WHERE lup > ldel
 """
 
@@ -4249,6 +4251,136 @@ def q_docs_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# stream/state audits (operators/audit.py) — gap detection, SCD2 history,
+# replay reconciliation
+# --------------------------------------------------------------------------
+
+CDC_GAP_AUDIT_SQL = f"""
+WITH ev AS ({_EV_SQL_INVALID}),
+good AS (SELECT lsn FROM ev WHERE op IN ('insert', 'update', 'delete')),
+s AS (SELECT lsn, lag(lsn) OVER (ORDER BY lsn) AS prev FROM good)
+SELECT prev + 1 AS gap_start,
+       lsn - 1 AS gap_end,
+       lsn - prev - 1 AS gap_len
+FROM s WHERE prev IS NOT NULL AND lsn - prev > 1
+"""
+
+
+def q_cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-LSN audit over the validated change stream: invalid-op
+    events dead-letter out (resolve.validate), and gap_audit proves the
+    surviving stream's LSN sequence has exactly the dead-lettered holes —
+    the WAL-tail completeness check a 10^10-event replay needs. The oracle
+    is a single global lag; the engine plan is chunked (intra-chunk lag
+    windows + a per-chunk summary window) so no global sort ever happens.
+    See operators/audit.py:gap_audit."""
+    from ..operators import audit
+
+    events = derive_change_events(spark, sf_dir, include_invalid=True)
+    good = events.where(F.col("op").isin("insert", "update", "delete"))
+    return audit.gap_audit(good, chunk=4096)
+
+
+def _scd2_col_sql(c: str) -> str:
+    return (
+        f"CASE WHEN coalesce(last_value(CASE WHEN op <> 'delete' AND {c} IS NOT NULL"
+        f" THEN lsn END IGNORE NULLS) OVER wr, -1)"
+        f" > coalesce(max(CASE WHEN op = 'delete' THEN lsn END) OVER wr, -1)"
+        f" THEN last_value(CASE WHEN op <> 'delete' AND {c} IS NOT NULL"
+        f" THEN {c} END IGNORE NULLS) OVER wr END AS {c}"
+    )
+
+
+CDC_SCD2_SQL = f"""
+WITH ev AS ({_EV_SQL_VALID}),
+ev2 AS (
+  SELECT lsn, op,
+         coalesce(conv_id, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0')) AS conv_id,
+         turn_idx, role, text, tool
+  FROM ev
+)
+SELECT conv_id, turn_idx, lsn AS valid_from_lsn,
+  lead(lsn) OVER wk - 1 AS valid_to_lsn,
+  lead(lsn) OVER wk IS NULL AS is_current,
+  coalesce(max(CASE WHEN op <> 'delete' THEN lsn END) OVER wr, -1)
+    > coalesce(max(CASE WHEN op = 'delete' THEN lsn END) OVER wr, -1) AS row_visible,
+  {_scd2_col_sql('role')},
+  {_scd2_col_sql('text')},
+  {_scd2_col_sql('tool')}
+FROM ev2
+WINDOW wk AS (PARTITION BY conv_id, turn_idx ORDER BY lsn),
+       wr AS (PARTITION BY conv_id, turn_idx ORDER BY lsn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 per-key version history: every change event becomes a
+    version row carrying the key's reconstructed LWW state as of that LSN
+    plus a validity interval — the per-key time-travel surface the lake's
+    snapshot time travel (table/lake.py) can't give (it is per-commit, not
+    per-event). Register semantics identical to operators/lww.py.
+    See operators/audit.py:scd2_history."""
+    from ..operators import audit
+
+    events = derive_change_events(spark, sf_dir)
+    good, _dead = resolve.validate(events, [])
+    normalized = good.select("lsn", "op", "conv_id", "turn_idx", *CDC_PAYLOAD)
+    return audit.scd2_history(normalized, CDC_PAYLOAD)
+
+
+_RECON_DIFF = ", ".join(
+    f"CASE WHEN l.{c} IS DISTINCT FROM r.{c} THEN '{c}' END" for c in CDC_PAYLOAD
+)
+
+# left = the full moves replay's final state (the CTE chain of
+# CDC_MOVES_SQL); right = the pre-b04 visible state (its `pre` CTE). The
+# moves derivation decouples turn_idx from the batch residue, so the b04
+# move/upsert/delete batch touches keys that already existed — all four
+# verdicts are non-vacuous (the plain derivation pins every key to a single
+# batch, which would leave mismatch/right_only empty).
+CDC_RECONCILE_SQL = f"""
+WITH {_MOVES_CTES},
+l AS (SELECT conv_id, turn_idx, {_VIS} FROM agg WHERE lup > ldel),
+r AS (SELECT * FROM pre)
+SELECT
+  coalesce(l.conv_id, r.conv_id) AS conv_id,
+  coalesce(l.turn_idx, r.turn_idx) AS turn_idx,
+  CASE WHEN r.conv_id IS NULL THEN 'left_only'
+       WHEN l.conv_id IS NULL THEN 'right_only'
+       WHEN concat_ws(',', {_RECON_DIFF}) = '' THEN 'match'
+       ELSE 'mismatch' END AS verdict,
+  CASE WHEN l.conv_id IS NOT NULL AND r.conv_id IS NOT NULL
+       THEN concat_ws(',', {_RECON_DIFF}) END AS diff_cols,
+  l.role AS left_role, l.text AS left_text, l.tool AS left_tool,
+  r.role AS right_role, r.text AS right_text, r.tool AS right_tool
+FROM l FULL OUTER JOIN r
+  ON l.conv_id = r.conv_id AND l.turn_idx = r.turn_idx
+"""
+
+
+def q_cdc_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-equality diff as a distributed operator: the full moves
+    replay's final state vs the pre-b04 state it grew from, full-outer
+    joined with per-key verdicts (match / mismatch+diff_cols / left_only /
+    right_only — all four non-vacuous: b04's moves update existing keys,
+    its source deletes remove them, its inserts create new ones). At 10^10
+    events this is how "replaying the change stream reproduces the table"
+    is *proven* — a keyed diff, not a driver-side collect-and-compare.
+    See operators/audit.py:reconcile."""
+    from ..operators import audit
+
+    events = derive_change_events(spark, sf_dir, include_moves=True)
+    good, _dead = resolve.validate(events, [])
+    pre_events = good.where(F.col("batch_id") < "b04").select(
+        "lsn", "op", "conv_id", "turn_idx", *CDC_PAYLOAD
+    )
+    right = lww.visible(lww.batch_registers(pre_events, CDC_PAYLOAD), CDC_PAYLOAD)
+    left = q_cdc_moves_final_state(spark, sf_dir)
+    return audit.reconcile(left, right, list(lww.KEY), CDC_PAYLOAD)
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4342,6 +4474,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bloom_dedup": q_docs_bloom_dedup,
     "emb_hard_negatives": q_emb_hard_negatives,
     "docs_simhash_pairs": q_docs_simhash_pairs,
+    "cdc_gap_audit": q_cdc_gap_audit,
+    "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_reconcile": q_cdc_reconcile,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -4443,4 +4578,7 @@ ORACLES: dict[str, str] = {
     "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_PAIRS_SQL,
+    "cdc_gap_audit": CDC_GAP_AUDIT_SQL,
+    "cdc_scd2_history": CDC_SCD2_SQL,
+    "cdc_reconcile": CDC_RECONCILE_SQL,
 }

@@ -1,0 +1,141 @@
+"""Audit operator tests: LSN gap detection (chunked vs naive), SCD2
+version history semantics, and full-outer state reconciliation."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from nifi_tekst_bundle_spark.operators import audit
+
+
+def _lsns(spark, values):
+    return spark.createDataFrame([Row(lsn=int(v)) for v in values])
+
+
+def test_gap_audit_finds_runs_within_and_across_chunks(spark):
+    # chunk=4: present 1..3, 6 (gap 4-5 inside chunk 1's territory crosses
+    # the 4-boundary), 7, then a run of empty chunks before 50
+    present = [1, 2, 3, 6, 7, 50, 52]
+    got = {
+        (r.gap_start, r.gap_end, r.gap_len)
+        for r in audit.gap_audit(_lsns(spark, present), chunk=4).collect()
+    }
+    assert got == {(4, 5, 2), (8, 49, 42), (51, 51, 1)}
+
+
+def test_gap_audit_matches_naive_lag_on_random_subset(spark):
+    # deterministic pseudo-random subset of 1..500 via a hash rule
+    present = [i for i in range(1, 501) if (i * 2654435761) % 7 != 0]
+    expected = set()
+    for a, b in zip(present, present[1:]):
+        if b - a > 1:
+            expected.add((a + 1, b - 1, b - a - 1))
+    for chunk in (3, 16, 1000):
+        got = {
+            (r.gap_start, r.gap_end, r.gap_len)
+            for r in audit.gap_audit(_lsns(spark, present), chunk=chunk).collect()
+        }
+        assert got == expected, f"chunk={chunk}"
+
+
+def test_gap_audit_dense_stream_is_empty(spark):
+    assert audit.gap_audit(_lsns(spark, range(10, 40)), chunk=8).count() == 0
+
+
+def _ev(lsn, op, conv="c1", turn=0, role=None, text=None, tool=None):
+    return Row(lsn=lsn, op=op, conv_id=conv, turn_idx=turn,
+               role=role, text=text, tool=tool)
+
+
+def test_scd2_history_reconstructs_lww_state_per_version(spark):
+    events = spark.createDataFrame([
+        _ev(1, "insert", role="user", text="hi"),
+        _ev(3, "update", text="hello", tool="web"),
+        _ev(5, "delete"),
+        _ev(8, "insert", role="user", text="again"),
+    ])
+    hist = audit.scd2_history(events, ["role", "text", "tool"]).collect()
+    by_from = {r.valid_from_lsn: r for r in hist}
+    assert set(by_from) == {1, 3, 5, 8}
+
+    v1 = by_from[1]
+    assert (v1.role, v1.text, v1.tool) == ("user", "hi", None)
+    assert v1.row_visible and not v1.is_current and v1.valid_to_lsn == 2
+
+    v3 = by_from[3]
+    assert (v3.role, v3.text, v3.tool) == ("user", "hello", "web")
+    assert v3.row_visible and v3.valid_to_lsn == 4
+
+    v5 = by_from[5]  # delete fences every column assigned before it
+    assert not v5.row_visible
+    assert (v5.role, v5.text, v5.tool) == (None, None, None)
+    assert v5.valid_to_lsn == 7
+
+    v8 = by_from[8]  # re-insert after delete: only post-delete columns back
+    assert v8.row_visible and v8.is_current and v8.valid_to_lsn is None
+    assert (v8.role, v8.text, v8.tool) == ("user", "again", None)
+
+
+def test_scd2_final_version_equals_lww_visible(spark):
+    """The is_current SCD2 row must equal the engine's LWW visible state."""
+    from nifi_tekst_bundle_spark.operators import lww
+
+    events = spark.createDataFrame([
+        _ev(1, "insert", conv="a", role="user", text="x"),
+        _ev(2, "update", conv="a", text="y"),
+        _ev(4, "delete", conv="a"),
+        _ev(1, "insert", conv="b", role="asst", text="m", tool="t"),
+        _ev(6, "update", conv="b", text="n"),
+    ])
+    payload = ["role", "text", "tool"]
+    vis = {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool)
+        for r in lww.visible(lww.batch_registers(events, payload), payload).collect()
+    }
+    cur = {
+        (r.conv_id, r.turn_idx): (r.role, r.text, r.tool)
+        for r in audit.scd2_history(events, payload)
+        .where("is_current AND row_visible").collect()
+    }
+    assert cur == vis == {("b", 0): ("asst", "n", "t")}
+
+
+def test_reconcile_verdicts(spark):
+    left = spark.createDataFrame([
+        Row(conv_id="a", turn_idx=0, role="u", text="same", tool=None),
+        Row(conv_id="b", turn_idx=1, role="u", text="newer", tool="web"),
+        Row(conv_id="c", turn_idx=2, role="a", text="only-left", tool=None),
+        Row(conv_id="e", turn_idx=4, role=None, text=None, tool=None),
+    ])
+    right = spark.createDataFrame([
+        Row(conv_id="a", turn_idx=0, role="u", text="same", tool=None),
+        Row(conv_id="b", turn_idx=1, role="a", text="older", tool="web"),
+        Row(conv_id="d", turn_idx=3, role="a", text="only-right", tool=None),
+        Row(conv_id="e", turn_idx=4, role=None, text=None, tool=None),
+    ])
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in audit.reconcile(
+            left, right, ["conv_id", "turn_idx"], ["role", "text", "tool"]
+        ).collect()
+    }
+    assert out[("a", 0)].verdict == "match" and out[("a", 0)].diff_cols == ""
+    assert out[("b", 1)].verdict == "mismatch"
+    assert out[("b", 1)].diff_cols == "role,text"
+    assert out[("c", 2)].verdict == "left_only"
+    assert out[("c", 2)].diff_cols is None
+    assert out[("d", 3)].verdict == "right_only"
+    # an all-null payload row present on both sides is a match, not absence
+    assert out[("e", 4)].verdict == "match"
+    assert out[("b", 1)].left_text == "newer" and out[("b", 1)].right_text == "older"
+
+
+def test_gap_audit_plan_has_no_global_sort_of_the_stream(spark):
+    """The chunked plan must not sort the full stream in one partition:
+    the only single-partition window is over the per-chunk summary."""
+    df = _lsns(spark, range(1, 2000, 3))
+    plan = audit.gap_audit(df, chunk=64)._jdf.queryExecution().executedPlan().toString()
+    # intra-chunk windows shuffle on _chunk (hashpartitioning), the summary
+    # window is the only SinglePartition exchange
+    assert plan.count("SinglePartition") <= 1
+    assert "hashpartitioning(_chunk" in plan
