@@ -253,3 +253,50 @@ def mixture_sample(
         )
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+# 2^60: the hash64 value space (15 hex digits of md5). A power of two, so
+# dividing by it is exact scaling and u = (h+1)/2^60 lands in (0, 1] with
+# identical IEEE rounding in every engine that casts int64->double.
+_U_SCALE = float(1 << 60)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — priority
+    sampling (Duffield–Lund–Thorup, CACM 2007): each row gets priority
+    w / u with u uniform in (0,1], and the k highest-priority rows are the
+    sample. Inclusion probability is proportional to weight in the tail,
+    and the estimator w_hat = max(w, tau) (tau = the (k+1)-th priority)
+    is unbiased for subset sums — the standard way to downsample a corpus
+    while keeping long documents representable.
+
+    u is derived from md5(id) (replay-stable like every sampler here,
+    docs_shuffle / stratified convention): h in [0, 2^60) from 15 hex
+    digits, u = (h+1)/2^60. All arithmetic is cast-then-divide — no
+    transcendentals — so DuckDB reproduces the doubles bit-for-bit (the
+    same reason lm.bigram_lm_score is log-free).
+
+    Scale shape: a narrow projection plus TakeOrderedAndProject(k) — the
+    global top-k never materializes a full sort (per-partition heaps, one
+    k-row-per-partition reduce to the driver-side merge). No shuffle of
+    the corpus itself.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(_U_SCALE)
+    pr = F.col(weight_col).cast("double") / u
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col),
+            pr.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(int(k))
+    )

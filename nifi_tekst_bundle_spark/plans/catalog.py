@@ -4381,6 +4381,239 @@ def q_cdc_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# freshness / sampling / funnel analytics (round 4 additions)
+# --------------------------------------------------------------------------
+
+# Per-key-bucket stream freshness: the dashboard behind the north rule's
+# "per-partition watermark lag" metric, expressed over the DETERMINISTIC
+# key-hash bucket (the logical partition — physical spark_partition_id is
+# not replay-stable, see apply.batch_lineage which covers that side). Lag
+# is event-time only (never wall clock) so replays report identical
+# numbers. One map-side-combinable groupBy on a 16-value key, then the
+# 16-row rollup joins the 1-row global watermark — nothing corpus-sized
+# moves.
+CDC_WATERMARK_LAG_SQL = """
+WITH b AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::INT64 % 16
+           AS bucket,
+         ts
+  FROM events
+),
+r AS (
+  SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_events,
+         max(ts) AS bucket_watermark
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n_events, bucket_watermark,
+  CAST(epoch_us((SELECT max(bucket_watermark) FROM r))
+       - epoch_us(bucket_watermark) AS BIGINT) AS lag_micros
+FROM r
+"""
+
+
+def q_cdc_watermark_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 16
+    ).cast("int")
+    roll = ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.max("ts").alias("bucket_watermark"),
+    )
+    wm = roll.agg(F.max("bucket_watermark").alias("global_watermark"))
+    return roll.join(F.broadcast(wm)).select(
+        "bucket",
+        "n_events",
+        "bucket_watermark",
+        (
+            F.unix_micros(F.col("global_watermark").cast("timestamp"))
+            - F.unix_micros(F.col("bucket_watermark").cast("timestamp"))
+        ).alias("lag_micros"),
+    )
+
+
+# Priority sampling (see operators/shard.py:priority_sample): weight =
+# n_chars, k = 50. The doubles are cast-then-divide only, so the oracle
+# reproduces them bit-for-bit.
+DOCS_PRIORITY_SAMPLE_SQL = """
+SELECT doc_id, n_chars,
+  CAST(n_chars AS DOUBLE)
+    / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::INT64 + 1)
+       / 1152921504606846976e0) AS priority
+FROM documents
+ORDER BY priority DESC, doc_id
+LIMIT 50
+"""
+
+
+def q_docs_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus downsampling (Duffield–Lund–Thorup priority
+    sampling) by document length: global top-k by w/u runs as
+    TakeOrderedAndProject — no full sort, no shuffle of the corpus."""
+    from ..operators import shard
+
+    docs = _read(spark, sf_dir, "documents")
+    return shard.priority_sample(docs, "n_chars", 50)
+
+
+# CCNet-style quality bucketing: per-language terciles of the quality
+# score (head = best). ntile(3) over a TOTAL order (quality DESC, doc_id)
+# is identical standard-SQL semantics in both engines; the window sorts
+# within languages only — the same per-stratum shuffle shape as
+# docs_stratified_sample, no global sort.
+DOCS_QUALITY_BUCKETS_SQL = f"""
+WITH q AS ({DOCS_QUALITY_SQL}),
+j AS (
+  SELECT d.doc_id, d.lang, q.quality
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+),
+n AS (
+  SELECT doc_id, lang, quality,
+    ntile(3) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS t
+  FROM j
+)
+SELECT doc_id, lang, quality,
+  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+    AS ccnet_bucket
+FROM n
+"""
+
+
+def q_docs_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), "doc_id")
+    scored = docs.select(
+        "doc_id", "lang", tf.quality_score(F.col("text")).alias("quality")
+    )
+    t = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.when(t == 1, F.lit("head"))
+        .when(t == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ccnet_bucket"),
+    )
+
+
+# Ordered funnel: view -> click -> purchase per user, each step strictly
+# after the previous one (sequence mining, not co-occurrence: a click
+# BEFORE the first view does not count). Three user-keyed equi-joins with
+# post-join time filters — never a range theta-join, never a window over
+# the whole stream; every shuffle keys on user_id.
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+  CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        (
+            F.lit(1)
+            + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("stage"),
+    )
+
+
+# Cohort retention: users grouped by the Monday of their first-activity
+# week, distinct-active-day offsets 0..13. Two user-keyed aggregations
+# plus one user-keyed join; the output is cohorts x offsets (bounded),
+# never user-sized.
+EVENTS_RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+j AS (
+  SELECT a.user_id, date_trunc('week', f.d0) AS cohort_week,
+         a.d - f.d0 AS offset_days
+  FROM a JOIN f ON a.user_id = f.user_id
+)
+SELECT CAST(CAST(cohort_week AS DATE) AS VARCHAR) AS cohort_week,
+       CAST(offset_days AS INT) AS offset_days,
+       count(DISTINCT user_id) AS n_users
+FROM j WHERE offset_days BETWEEN 0 AND 13
+GROUP BY cohort_week, offset_days
+"""
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    a = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    j = a.join(f, "user_id").select(
+        "user_id",
+        # emitted as an ISO string: a cohort label, and pandas renders
+        # DATE differently across the two engines (date vs midnight ts)
+        F.date_trunc("week", F.col("d0")).cast("date").cast("string").alias(
+            "cohort_week"
+        ),
+        F.datediff(F.col("d"), F.col("d0")).alias("offset_days"),
+    )
+    return (
+        j.filter(F.col("offset_days").between(0, 13))
+        .groupBy("cohort_week", F.col("offset_days").cast("int").alias("offset_days"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4477,6 +4710,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_gap_audit": q_cdc_gap_audit,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_reconcile": q_cdc_reconcile,
+    "cdc_watermark_lag": q_cdc_watermark_lag,
+    "docs_priority_sample": q_docs_priority_sample,
+    "docs_quality_buckets": q_docs_quality_buckets,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -4581,4 +4819,9 @@ ORACLES: dict[str, str] = {
     "cdc_gap_audit": CDC_GAP_AUDIT_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,
     "cdc_reconcile": CDC_RECONCILE_SQL,
+    "cdc_watermark_lag": CDC_WATERMARK_LAG_SQL,
+    "docs_priority_sample": DOCS_PRIORITY_SAMPLE_SQL,
+    "docs_quality_buckets": DOCS_QUALITY_BUCKETS_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_retention": EVENTS_RETENTION_SQL,
 }

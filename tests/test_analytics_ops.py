@@ -1,0 +1,156 @@
+"""Round-4 analytics operators: priority sampling, watermark-lag
+freshness, CCNet quality buckets, ordered funnel, cohort retention."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nifi_tekst_bundle_spark.operators import shard
+from nifi_tekst_bundle_spark.plans import catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------ priority sampling
+
+
+def test_priority_sample_is_weighted_and_deterministic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s1 = shard.priority_sample(docs, "n_chars", 50).toPandas()
+    s2 = shard.priority_sample(docs, "n_chars", 50).toPandas()
+    assert len(s1) == 50
+    assert list(s1["doc_id"]) == list(s2["doc_id"])  # replay-stable
+    # weighted: long documents are overrepresented relative to uniform
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    assert s1["n_chars"].mean() > corpus_mean
+    # priorities arrive sorted descending and are exactly w/u
+    assert list(s1["priority"]) == sorted(s1["priority"], reverse=True)
+
+
+def test_priority_sample_matches_serial_topk(spark):
+    """The distributed TakeOrdered top-k equals a serial recompute of
+    priority = w / ((hash64(id)+1)/2^60) over the whole corpus."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = shard.priority_sample(docs, "n_chars", 10).toPandas()
+    import hashlib
+
+    rows = docs.select("doc_id", "n_chars").collect()
+    pri = []
+    for r in rows:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:15], 16)
+        pri.append((r.n_chars / ((h + 1) / float(1 << 60)), r.doc_id))
+    want = sorted(pri, key=lambda t: (-t[0], t[1]))[:10]
+    assert [d for _, d in want] == list(got["doc_id"])
+
+
+def test_priority_sample_plan_has_no_full_sort(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = shard.priority_sample(docs, "n_chars", 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+
+
+# ------------------------------------------------------- watermark lag
+
+
+def test_watermark_lag_nonnegative_and_zero_at_global_max(spark):
+    out = catalog.q_cdc_watermark_lag(spark, SF).toPandas()
+    assert (out["lag_micros"] >= 0).all()
+    assert (out["lag_micros"] == 0).sum() >= 1  # the watermark bucket
+    assert out["bucket"].between(0, 15).all()
+    # every event is accounted for exactly once
+    n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert int(out["n_events"].sum()) == n
+
+
+# ----------------------------------------------------- quality buckets
+
+
+def test_quality_buckets_are_balanced_terciles(spark):
+    out = catalog.q_docs_quality_buckets(spark, SF).toPandas()
+    for _, grp in out.groupby("lang"):
+        sizes = grp["ccnet_bucket"].value_counts()
+        assert sizes.max() - sizes.min() <= 1  # ntile balance
+        # head quality dominates tail quality per language
+        assert (
+            grp[grp.ccnet_bucket == "head"]["quality"].min()
+            >= grp[grp.ccnet_bucket == "tail"]["quality"].max()
+        )
+
+
+# --------------------------------------------------------------- funnel
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def test_funnel_requires_strict_ordering(spark):
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1: full ordered funnel
+        (1, t, 1, "view"), (2, t + s, 1, "click"), (3, t + 2 * s, 1, "purchase"),
+        # u2: click BEFORE the first view -> stage stops at 1
+        (4, t, 2, "click"), (5, t + s, 2, "view"),
+        # u3: view then purchase but no click in between -> stage 1
+        (6, t, 3, "view"), (7, t + s, 3, "purchase"),
+        # u4: never views -> not in the funnel at all
+        (8, t, 4, "click"), (9, t + s, 4, "purchase"),
+    ]
+    ev = _ev(spark, rows)
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    # reuse the catalog shape through a temp dir is overkill; assert via
+    # the same composition the query uses
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    ev.withColumn("value", F.lit(0.0)).withColumn(
+        "props", F.lit(None).cast("string")
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = catalog.q_events_funnel(spark, d).toPandas().set_index("user_id")
+    assert out.loc[1, "stage"] == 3
+    assert out.loc[2, "stage"] == 1
+    assert out.loc[3, "stage"] == 1
+    assert 4 not in out.index
+    assert v.count() == 3
+
+
+def test_funnel_stage_counts_monotone_on_fixture(spark):
+    out = catalog.q_events_funnel(spark, SF).toPandas()
+    # stage k is reached by a superset of stage k+1 reachers
+    n1 = (out["stage"] >= 1).sum()
+    n2 = (out["stage"] >= 2).sum()
+    n3 = (out["stage"] >= 3).sum()
+    assert n1 >= n2 >= n3
+    assert n1 == len(out)
+    # t ordering holds wherever present
+    full = out[out.stage == 3]
+    assert (full["t_view"] < full["t_click"]).all()
+    assert (full["t_click"] < full["t_purchase"]).all()
+
+
+# ------------------------------------------------------------ retention
+
+
+def test_retention_day0_counts_every_cohort_user(spark):
+    out = catalog.q_events_retention(spark, SF).toPandas()
+    users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # offset 0 rows together count every user exactly once
+    assert int(out[out.offset_days == 0]["n_users"].sum()) == users
+    assert out["offset_days"].between(0, 13).all()
+    # retention never exceeds the cohort's day-0 size
+    for _, grp in out.groupby("cohort_week"):
+        d0 = int(grp[grp.offset_days == 0]["n_users"].iloc[0])
+        assert (grp["n_users"] <= d0).all()
