@@ -88,6 +88,12 @@ HEADLINE = [
     "docs_simhash_prod",
     "docs_incremental_dedup_prod",
     "docs_span_dedup_prod",
+    # round-4 analytics additions
+    "cdc_watermark_lag",
+    "docs_priority_sample",
+    "docs_quality_buckets",
+    "events_funnel",
+    "events_retention",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

@@ -351,3 +351,77 @@ def tool_usage(
         F.countDistinct(conv_col).alias("n_convs"),
         F.round(F.avg(toks), 6).alias("avg_tokens"),
     )
+
+
+def train_eval_split(
+    df: DataFrame,
+    eval_pct: int = 5,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic conversation-level train/eval split — the hold-out
+    assignment every fine-tuning run needs, made replay-stable so a
+    re-ingest never leaks eval conversations into train.
+
+    split = 'eval' iff hash64(conv_id) % 100 < eval_pct. Hashing the KEY
+    (never a row attribute) keeps whole conversations together; md5-based
+    like every sampler here, so the DuckDB oracle reproduces the exact
+    assignment. One conv-keyed groupBy (the table's natural partitioning
+    key) emitting per-conv turn/token totals for mixture accounting.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(conv_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.groupBy(conv_col)
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(estimated_tokens(F.col(text_col))).alias("n_tokens"),
+        )
+        .select(
+            conv_col,
+            "n_turns",
+            "n_tokens",
+            F.when(h % 100 < eval_pct, F.lit("eval"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
+def scrub_turns(
+    df: DataFrame,
+    scrub_roles: tuple[str, ...],
+    patterns: dict[str, str],
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Role-aware PII scrubbing over transcript turns: only turns whose
+    role is in ``scrub_roles`` are redacted (user-contributed content
+    carries PII risk; assistant/tool output is the model's own and is
+    left bit-identical for replay equality). ``patterns`` maps
+    replacement token -> regex (Java∩RE2 dialect, the docs_pii_scrub
+    contract).
+
+    Pure narrow projection — zero shuffle, stays in whole-stage codegen;
+    n_redactions counts matches BEFORE replacement so audit totals
+    survive the scrub.
+    """
+    in_scope = F.col(role_col).isin(*scrub_roles) & F.col(text_col).isNotNull()
+    scrubbed = F.col(text_col)
+    n_red = F.lit(0)
+    for token in sorted(patterns):
+        rx = patterns[token]
+        # audit counts are against the ORIGINAL text (what was redacted),
+        # not the partially-scrubbed intermediate
+        n_red = n_red + F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(rx), F.lit(0))
+        )
+        scrubbed = F.regexp_replace(scrubbed, rx, token)
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.when(in_scope, scrubbed).otherwise(F.col(text_col)).alias(text_col),
+        F.when(in_scope, n_red).otherwise(F.lit(0))
+        .cast("int")
+        .alias("n_redactions"),
+    )

@@ -1220,7 +1220,11 @@ def q_docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs_sql(n_hashes: int = 4, n_bands: int = 2, k: int = 3,
-                       threshold: float = 0.5) -> str:
+                       threshold: float = 0.5,
+                       source: str = "SELECT doc_id, text FROM documents") -> str:
+    """``source`` is any (doc_id, text) relation — the documents table by
+    default; conv_near_dups passes the folded-conversation relation so the
+    SAME LSH pipeline is oracle-checked at conversation granularity."""
     mh = ",\n    ".join(
         "list_min(list_transform(hs, x -> (x * {a} + {b}) % {p})) AS m{i}".format(
             a=dedup.mh_consts(i)[0], b=dedup.mh_consts(i)[1], p=dedup.MH_P, i=i
@@ -1240,7 +1244,7 @@ def _minhash_pairs_sql(n_hashes: int = 4, n_bands: int = 2, k: int = 3,
     return rf"""
 WITH base AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
-  FROM documents
+  FROM ({source})
 ),
 sh AS (
   SELECT doc_id,
@@ -4381,6 +4385,132 @@ def q_cdc_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# conversation-level split / scrub / near-dup (round 4 additions)
+# --------------------------------------------------------------------------
+
+CONV_TRAIN_EVAL_SPLIT_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL}),
+agg AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum({_EST_TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM final GROUP BY conv_id
+)
+SELECT conv_id, n_turns, n_tokens,
+  CASE WHEN ('0x' || substr(md5(conv_id), 1, 15))::INT64 % 100 < 5
+       THEN 'eval' ELSE 'train' END AS split
+FROM agg
+"""
+
+
+def q_conv_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-stable conversation-level hold-out assignment over the
+    applied table (transcript.train_eval_split): hash the KEY so a
+    re-ingest never migrates a conversation across the split."""
+    final = q_cdc_lww_final_state(spark, sf_dir)
+    return transcript.train_eval_split(final, eval_pct=5)
+
+
+CONV_PII_SCRUB_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL}),
+seeded AS (
+  SELECT conv_id, turn_idx, role,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE text || ' contact ' || conv_id || '@mail.example.com tel'
+                   || ' +47 5550' || CAST(turn_idx % 10 AS VARCHAR) END
+      AS text
+  FROM final
+)
+SELECT conv_id, turn_idx, role,
+  CASE WHEN role IN ('signup', 'purchase') AND text IS NOT NULL
+       THEN regexp_replace(
+              regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+              '{_PII_PHONE}', '<PHONE>', 'g')
+       ELSE text END AS text,
+  CAST(CASE WHEN role IN ('signup', 'purchase') AND text IS NOT NULL
+       THEN len(regexp_extract_all(text, '{_PII_EMAIL}'))
+            + len(regexp_extract_all(text, '{_PII_PHONE}'))
+       ELSE 0 END AS INT) AS n_redactions
+FROM seeded
+"""
+
+
+def q_conv_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-aware transcript PII scrub (transcript.scrub_turns): the
+    fixture carries no PII, so both engines seed deterministic addresses
+    into every non-null turn first; the operator under test then redacts
+    ONLY the user-originated roles — the other roles keep their seeded
+    text bit-identical, proving the gate."""
+    final = q_cdc_lww_final_state(spark, sf_dir)
+    seeded = final.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(
+                F.col("text"),
+                F.lit(" contact "),
+                F.col("conv_id"),
+                F.lit("@mail.example.com tel +47 5550"),
+                (F.col("turn_idx") % 10).cast("string"),
+            ),
+        ).alias("text"),
+    )
+    return transcript.scrub_turns(
+        seeded,
+        scrub_roles=("signup", "purchase"),
+        patterns={"<EMAIL>": _PII_EMAIL, "<PHONE>": _PII_PHONE},
+    )
+
+
+# the folded-conversation relation: one text per conversation, turns in
+# order — the (doc_id, text) shape the doc-level LSH pipeline expects.
+# Empty folds are excluded (a conversation whose every turn has NULL text
+# folds to whitespace; at corpus scale those would all co-bucket into one
+# quadratic LSH bucket while carrying zero dedup signal).
+_CONV_FOLDED_SRC = f"""WITH final AS ({CDC_FINAL_STATE_SQL})
+SELECT conv_id AS doc_id,
+       string_agg(coalesce(text, ''), ' ' ORDER BY turn_idx) AS text
+FROM final GROUP BY conv_id
+HAVING length(trim(string_agg(coalesce(text, ''), ' ' ORDER BY turn_idx))) > 0"""
+
+CONV_NEAR_DUPS_SQL = _minhash_pairs_sql(source=_CONV_FOLDED_SRC)
+
+
+def q_conv_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level near-duplicate pairs: ordered turn-text fold per
+    conversation (the A1 render shape), then the SAME MinHash→LSH-band→
+    Jaccard-verify pipeline as docs_minhash_pairs at conversation
+    granularity — how a transcript pipeline drops re-run/retried agent
+    sessions that differ in a turn or two."""
+    final = q_cdc_lww_final_state(spark, sf_dir)
+    fold = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("turn_idx").alias("k"),
+                        F.coalesce(F.col("text"), F.lit("")).alias("v"),
+                    )
+                )
+            ),
+            lambda x: x["v"],
+        ),
+        " ",
+    )
+    folded = (
+        final.groupBy("conv_id")
+        .agg(fold.alias("text"))
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.col("conv_id").alias("doc_id"), "text")
+    )
+    return dedup.minhash_near_dups(
+        folded, "doc_id", "text", n_hashes=4, n_bands=2,
+        jaccard_threshold=0.5, k=3, hash_mode="oracle", materialize=True,
+    )
+
+
+# --------------------------------------------------------------------------
 # freshness / sampling / funnel analytics (round 4 additions)
 # --------------------------------------------------------------------------
 
@@ -4710,6 +4840,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_gap_audit": q_cdc_gap_audit,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_reconcile": q_cdc_reconcile,
+    "conv_train_eval_split": q_conv_train_eval_split,
+    "conv_pii_scrub": q_conv_pii_scrub,
+    "conv_near_dups": q_conv_near_dups,
     "cdc_watermark_lag": q_cdc_watermark_lag,
     "docs_priority_sample": q_docs_priority_sample,
     "docs_quality_buckets": q_docs_quality_buckets,
@@ -4819,6 +4952,9 @@ ORACLES: dict[str, str] = {
     "cdc_gap_audit": CDC_GAP_AUDIT_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,
     "cdc_reconcile": CDC_RECONCILE_SQL,
+    "conv_train_eval_split": CONV_TRAIN_EVAL_SPLIT_SQL,
+    "conv_pii_scrub": CONV_PII_SCRUB_SQL,
+    "conv_near_dups": CONV_NEAR_DUPS_SQL,
     "cdc_watermark_lag": CDC_WATERMARK_LAG_SQL,
     "docs_priority_sample": DOCS_PRIORITY_SAMPLE_SQL,
     "docs_quality_buckets": DOCS_QUALITY_BUCKETS_SQL,

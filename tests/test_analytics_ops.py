@@ -154,3 +154,78 @@ def test_retention_day0_counts_every_cohort_user(spark):
     for _, grp in out.groupby("cohort_week"):
         d0 = int(grp[grp.offset_days == 0]["n_users"].iloc[0])
         assert (grp["n_users"] <= d0).all()
+
+
+# ------------------------------------------- transcript split/scrub/dedup
+
+
+def test_train_eval_split_is_stable_and_key_level(spark):
+    out = catalog.q_conv_train_eval_split(spark, SF).toPandas()
+    again = catalog.q_conv_train_eval_split(spark, SF).toPandas()
+    m1 = dict(zip(out["conv_id"], out["split"]))
+    m2 = dict(zip(again["conv_id"], again["split"]))
+    assert m1 == m2  # replay-stable assignment
+    frac = (out["split"] == "eval").mean()
+    assert 0.0 < frac < 0.15  # ~5% hold-out on the fixture
+    assert (out["n_turns"] >= 1).all()
+
+
+def test_scrub_turns_gates_on_role(spark):
+    from nifi_tekst_bundle_spark.operators import transcript
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "mail me at bob@x.example.org now"),
+            ("c1", 1, "assistant", "ok bob@x.example.org noted"),
+            ("c1", 2, "user", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    out = transcript.scrub_turns(
+        df, scrub_roles=("user",),
+        patterns={"<EMAIL>": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"},
+    ).toPandas().set_index("turn_idx")
+    assert out.loc[0, "text"] == "mail me at <EMAIL> now"
+    assert out.loc[0, "n_redactions"] == 1
+    # assistant turn keeps its address bit-identical
+    assert out.loc[1, "text"] == "ok bob@x.example.org noted"
+    assert out.loc[1, "n_redactions"] == 0
+    assert out.loc[2, "text"] is None or out.loc[2, "text"] != out.loc[2, "text"]
+
+
+def test_conv_near_dups_detects_seeded_duplicate_conversation(spark):
+    from nifi_tekst_bundle_spark.operators import dedup
+
+    turns = [("conv-a", i, f"tok{i} word{i} filler{i}") for i in range(12)]
+    # near-dup: same conversation with ONE changed turn
+    turns += [
+        ("conv-b", i, f"tok{i} word{i} filler{i}" if i != 5 else "edited turn")
+        for i in range(12)
+    ]
+    # unrelated conversation
+    turns += [("conv-c", i, f"zzz{i} qqq{i} xxx{i}") for i in range(12)]
+    df = spark.createDataFrame(turns, "conv_id string, turn_idx int, text string")
+    from pyspark.sql import functions as FF
+
+    fold = FF.array_join(
+        FF.transform(
+            FF.array_sort(
+                FF.collect_list(FF.struct(FF.col("turn_idx").alias("k"),
+                                          FF.col("text").alias("v")))
+            ),
+            lambda x: x["v"],
+        ),
+        " ",
+    )
+    folded = df.groupBy("conv_id").agg(fold.alias("text")).select(
+        FF.col("conv_id").alias("doc_id"), "text"
+    )
+    # 8 hashes / 4 bands: single-row bands, so one matching minhash is
+    # enough to candidate the pair — deterministic recall on this fixture
+    # (the catalog query's 4/2 setting trades recall for bucket size)
+    pairs = dedup.minhash_near_dups(
+        folded, "doc_id", "text", n_hashes=8, n_bands=8,
+        jaccard_threshold=0.5, k=3,
+    ).toPandas()
+    assert ("conv-a", "conv-b") in set(zip(pairs["id_a"], pairs["id_b"]))
+    assert not any("conv-c" in p for pair in zip(pairs["id_a"], pairs["id_b"]) for p in pair)
