@@ -94,6 +94,9 @@ HEADLINE = [
     "docs_quality_buckets",
     "events_funnel",
     "events_retention",
+    "conv_train_eval_split",
+    "conv_pii_scrub",
+    "conv_near_dups",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that
