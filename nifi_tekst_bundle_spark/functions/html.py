@@ -22,10 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# subtree-dropping tags: their CONTENT is noise, not text
-_DROP_BLOCKS = r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1>"
-# Note: \1 backreference in closing tag is NOT RE2-safe; see html_to_text
-# for the RE2-compatible per-tag form actually used.
+# subtree-dropping tags: their CONTENT is noise, not text. Dropped with
+# one RE2-compatible regex per tag (a single combined pattern would need a
+# \1 backreference in the closing tag, which RE2 lacks — the oracle-parity
+# dialect is Java∩RE2).
 _BLOCK_TAGS = ("script", "style", "noscript")
 
 # tags whose END marks a line break in the extracted text

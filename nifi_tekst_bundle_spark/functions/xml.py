@@ -116,25 +116,10 @@ def xml_escape_attr(col: Column) -> Column:
 # ------------------------------------------------- render-validation gate
 
 
-@F.pandas_udf(T.BooleanType())
-def xml_well_formed(s: pd.Series) -> pd.Series:
-    """True iff the string parses as XML — the pre-flight Spark's Hive
-    xpath UDFs need (they THROW on malformed input, failing the whole
-    job, verified on Spark 4). Arrow-batched pandas UDF; the per-document
-    parse is inherent to validation (the reference's XsdValidator also
-    DOM-parses every document, XsdValidator.kt:281-318)."""
-
-    def ok(x):
-        if x is None:
-            return False
-        try:
-            ET.fromstring(x)
-            return True
-        except ET.ParseError:
-            return False
-
-    return s.map(ok)
-
+# Well-formedness checking lives inside _xml_probe below (its `wf` field):
+# ONE parse per document serves both the pre-flight Spark's Hive xpath UDFs
+# need (they THROW on malformed input, verified on Spark 4) and the contract
+# assertions — a separate boolean-only UDF would parse every document twice.
 
 _XML_PROBE_SCHEMA = T.StructType(
     [

@@ -1029,8 +1029,10 @@ def bloom_novelty(
     verdict 'invalid' (cf. incremental_near_dups).
     """
     _check_mode(hash_mode)
-    if k * 8 > 32:
-        raise ValueError("k*8 hex chars must fit one md5 digest")
+    # the digest-width ceiling is an oracle-mode constraint only:
+    # production derives positions from xxhash64(text, j), any k works
+    if hash_mode == "oracle" and k * 8 > 32:
+        raise ValueError("k*8 hex chars must fit one md5 digest in oracle mode")
 
     def positions(col: F.Column) -> list[F.Column]:
         if hash_mode == "production":

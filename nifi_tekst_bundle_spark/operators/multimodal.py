@@ -98,7 +98,10 @@ def _parse_wav(payload: bytes):
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
-        if cid == b"fmt " and pos + 16 <= len(payload):
+        # the fmt body read below reaches payload[pos+22); require the
+        # full span so a truncated fmt chunk returns None (loud), never a
+        # zero block_align from silently-empty slices
+        if cid == b"fmt " and pos + 22 <= len(payload):
             channels = int.from_bytes(payload[pos + 10:pos + 12], "little")
             rate = int.from_bytes(payload[pos + 12:pos + 16], "little")
             block_align = int.from_bytes(payload[pos + 20:pos + 22], "little")

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import hash64
+
 
 def global_offsets(
     df: DataFrame,
@@ -114,6 +116,10 @@ def shuffle_positions(
     sorts more than one shard. ``salt`` reshuffles between epochs without
     touching the data. Replayability rule per the reference's
     deterministic page ordering (ReorderFiles.kt:132-136)."""
+    # inlines the hash64 oracle idiom (cf. dedup.hash64) on purpose: the
+    # ONE md5 digest here is shared between the shard assignment (60-bit
+    # prefix) and the within-shard ordering key (full hex) — routing
+    # through hash64 would hash every id twice
     hkey = F.md5(
         F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))
         .cast("binary")
@@ -286,9 +292,7 @@ def priority_sample(
     k-row-per-partition reduce to the driver-side merge). No shuffle of
     the corpus itself.
     """
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    h = hash64(F.col(id_col).cast("string"))
     u = (h + F.lit(1)).cast("double") / F.lit(_U_SCALE)
     pr = F.col(weight_col).cast("double") / u
     return (

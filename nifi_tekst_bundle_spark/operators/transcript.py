@@ -119,9 +119,11 @@ def loss_mask(
         .orderBy(turn_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # non-empty means actual characters: estimated_tokens('') is 1 (a
+    # planning floor), so gate on text length, not on the token estimate
     train = (
         F.coalesce(F.col(role_col), F.lit("")) == completion_role
-    ) & (toks > 0)
+    ) & (F.length(F.coalesce(F.col(text_col), F.lit(""))) > 0)
     return df.select(
         F.col(conv_col),
         F.col(turn_col),
@@ -369,9 +371,9 @@ def train_eval_split(
     assignment. One conv-keyed groupBy (the table's natural partitioning
     key) emitting per-conv turn/token totals for mixture accounting.
     """
-    h = F.conv(
-        F.substring(F.md5(F.col(conv_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    from .dedup import hash64
+
+    h = hash64(F.col(conv_col).cast("string"))
     return (
         df.groupBy(conv_col)
         .agg(

@@ -3959,11 +3959,12 @@ def q_conv_role_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONV_LOSS_MASK_SQL = f"""
 WITH final AS ({CDC_FINAL_STATE_SQL}),
 t AS (
-  SELECT conv_id, turn_idx, role, {_EST_TOKENS_SQL} AS n_tokens
+  SELECT conv_id, turn_idx, role, text, {_EST_TOKENS_SQL} AS n_tokens
   FROM final
 )
 SELECT conv_id, turn_idx,
-  (coalesce(role, '') = 'purchase' AND n_tokens > 0) AS train,
+  (coalesce(role, '') = 'purchase'
+   AND length(coalesce(text, '')) > 0) AS train,
   CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -4544,10 +4545,7 @@ FROM r
 def q_cdc_watermark_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-        ).cast("long")
-        % 16
+        dedup.hash64(F.col("user_id").cast("string")) % 16
     ).cast("int")
     roll = ev.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n_events"),

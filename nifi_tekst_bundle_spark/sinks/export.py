@@ -32,6 +32,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.dedup import hash64
+
 
 def export_jsonl_shards(
     df: DataFrame,
@@ -54,7 +56,7 @@ def export_jsonl_shards(
         )
     hkey = F.md5(F.col(id_col).cast("string").cast("binary"))
     shard = (
-        F.conv(F.substring(hkey, 1, 15), 16, 10).cast("long") % n_shards
+        hash64(F.col(id_col).cast("string")) % n_shards
     ).cast("int")
     staged = (
         df.withColumn("shard", shard)
@@ -69,10 +71,16 @@ def export_jsonl_shards(
         .mode("error")
         .json(out_dir)
     )
-    # counts re-derive from the same deterministic expression — one
-    # map-side-combinable agg collapsing to n_shards rows
+    # counts come from the WRITTEN files, not a second evaluation of the
+    # (possibly expensive) upstream plan: one text scan of the output,
+    # partition discovery recovers the shard column, and the manifest then
+    # certifies what actually landed on disk — strictly stronger than
+    # re-deriving the expected counts
+    spark = df.sparkSession
     counts = (
-        df.select(shard.alias("shard"))
+        spark.read.format("text")
+        .option("basePath", out_dir)
+        .load(os.path.join(out_dir, "shard=*"))
         .groupBy("shard")
         .count()
         .collect()

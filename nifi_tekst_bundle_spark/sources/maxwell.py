@@ -126,8 +126,12 @@ def parse_maxwell(df: DataFrame, value_col: str = "value") -> DataFrame:
         row["text"].alias("text"),
         row["tool"].alias("tool"),
         F.timestamp_micros(row["ts_us"]).alias("ts"),
+        # every dead-letter-bound record keeps its raw line: missing/
+        # unmapped type (control/DDL), and unparseable positions alike
         F.when(
-            p["type"].isNull() | position_to_lsn(p["position"]).isNull(),
+            p["type"].isNull()
+            | ~p["type"].isin("insert", "bootstrap-insert", "update", "delete")
+            | position_to_lsn(p["position"]).isNull(),
             F.create_map(F.lit("_raw"), F.col(value_col)),
         )
         .otherwise(row["extra"])
@@ -159,7 +163,9 @@ def to_maxwell(events: DataFrame) -> DataFrame:
     )
     position = F.concat(
         F.lit("mysql-bin."),
-        F.lpad((F.col("lsn") / LSN_FILE_WEIGHT).cast("long").cast("string"), 6, "0"),
+        # integer DIV, not `/`: double division rounds for lsn > 2^53 and
+        # can name the wrong binlog file (same rule as pack_sequences)
+        F.lpad(F.expr(f"lsn DIV {LSN_FILE_WEIGHT}").cast("string"), 6, "0"),
         F.lit(":"),
         (F.col("lsn") % LSN_FILE_WEIGHT).cast("string"),
     )
