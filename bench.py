@@ -347,7 +347,11 @@ def write_baseline_md(scaling: dict, queries: dict, sf_dir: str) -> None:
             m = _re.match(r"\| (\w+) \| ([\d.]+) \|$", line)
             if m:
                 prior[m.group(1)] = float(m.group(2))
-            b = _re.search(r"best observed .* ([\d][\d,.]*) events/s", line)
+            b = _re.search(
+                r"observed top-core throughput across committed sweeps is "
+                r"([\d][\d,.]*) events/s",
+                line,
+            )
             if b:
                 prior_best_eps = float(b.group(1).replace(",", ""))
     top = max(scaling["configs"].values(), key=lambda c: c["cores"])
