@@ -333,3 +333,41 @@ def test_simhash_pairs_verify_adds_no_shuffle(spark):
         "Exchange hashpartitioning"
     ) + 1  # + the explicit spread repartition in the catalog query
     assert "BatchEvalPython" not in verified
+
+
+def test_round4_analytics_queries_plan_shape(spark):
+    """The round-4 analytics layer keeps its scale posture: JVM-only
+    expressions, no cartesian products, and the intended join/window
+    strategies."""
+    # watermark lag: the 1-row global watermark joins broadcast
+    plan = _plan(catalog.q_cdc_watermark_lag(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # funnel: all three step joins are equi-joins on user_id, never range
+    plan = _plan(catalog.q_events_funnel(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # retention: distinct + joins, no global sort anywhere
+    plan = _plan(catalog.q_events_retention(spark, SF))
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    # quality buckets: the only sort is the per-lang window sort
+    plan = _plan(catalog.q_docs_quality_buckets(spark, SF))
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_round4_transcript_queries_plan_shape(spark):
+    # train/eval split: one aggregation keyed on conv_id, JVM-only
+    plan = _plan(catalog.q_conv_train_eval_split(spark, SF))
+    assert "BatchEvalPython" not in plan
+    # scrub: pure narrow projection on top of the fold — no extra shuffle
+    # beyond the CDC register aggregation itself
+    base = _plan(catalog.q_cdc_lww_final_state(spark, SF)).count(
+        "Exchange hashpartitioning"
+    )
+    plan = _plan(catalog.q_conv_pii_scrub(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == base
+    assert "BatchEvalPython" not in plan
