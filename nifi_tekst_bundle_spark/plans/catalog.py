@@ -4742,6 +4742,107 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# transaction-boundary atomic apply (operators/txn.py)
+# --------------------------------------------------------------------------
+
+# Deterministic transaction synthesis over the derived change log: every
+# TXN_EVENTS consecutive lsns form one transaction (the metadata "END
+# marker" expected count comes from the FULL log — the metadata topic);
+# the observed stream drops every 97th lsn, simulating in-flight events
+# at the cutoff, so their transactions must be held back whole.
+TXN_EVENTS = 4
+TXN_HOLE_MOD = 97
+
+
+def _txn_stream(spark: SparkSession, sf_dir: str):
+    full = derive_change_events(spark, sf_dir).withColumn(
+        "txn_id", F.expr(f"(lsn - 1) DIV {TXN_EVENTS}")
+    )
+    meta = full.groupBy("txn_id").agg(
+        F.count("*").alias("expected_events")
+    )
+    stream = full.filter(F.col("lsn") % TXN_HOLE_MOD != 0)
+    return stream, meta
+
+
+_TXN_GATED_SQL = f"""
+evt AS (SELECT *, (lsn - 1) // {TXN_EVENTS} AS txn_id FROM ev),
+meta AS (SELECT txn_id, count(*) AS expected_events FROM evt GROUP BY txn_id),
+stream AS (SELECT * FROM evt WHERE lsn % {TXN_HOLE_MOD} <> 0),
+obs AS (
+  SELECT txn_id, count(DISTINCT lsn) AS observed
+  FROM stream GROUP BY txn_id
+)"""
+
+
+def q_cdc_txn_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic transaction apply: gate the stream on txn completeness
+    (operators/txn.complete_txns — distinct-lsn counts vs the metadata
+    expected counts, broadcast anti-join of the in-flight set), then the
+    standard validate → LWW register → visible-state pipeline. Final
+    state contains NO effect of any torn transaction."""
+    from ..operators import txn as txn_ops
+
+    stream, meta = _txn_stream(spark, sf_dir)
+    gated = txn_ops.complete_txns(stream, meta).drop("txn_id")
+    good, _dead = resolve.validate(gated, [])
+    normalized = good.select(
+        "lsn", "batch_id", "op", "conv_id", "turn_idx", *CDC_PAYLOAD
+    )
+    regs = lww.batch_registers(normalized, CDC_PAYLOAD)
+    return lww.visible(regs, CDC_PAYLOAD)
+
+
+CDC_TXN_ATOMIC_SQL = f"""
+WITH ev AS ({_EV_SQL_VALID}),
+{_TXN_GATED_SQL},
+complete AS (
+  SELECT obs.txn_id FROM obs JOIN meta USING (txn_id)
+  WHERE observed = expected_events
+),
+gated AS (
+  SELECT * FROM stream WHERE txn_id IN (SELECT txn_id FROM complete)
+),
+ev2 AS (
+  SELECT lsn, op,
+         coalesce(conv_id, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0')) AS conv_id,
+         turn_idx, role, text, tool
+  FROM gated
+),
+agg AS (
+  SELECT conv_id, turn_idx,
+    coalesce(max(lsn) FILTER (WHERE op <> 'delete'), -1) AS lup,
+    coalesce(max(lsn) FILTER (WHERE op = 'delete'), -1) AS ldel,
+    {_AGG}
+  FROM ev2 GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx,
+  {_VIS}
+FROM agg WHERE lup > ldel
+"""
+
+
+def q_cdc_txn_heldback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog view of the same gate: the in-flight (incomplete)
+    transactions at the stream cutoff with observed vs expected counts
+    (operators/txn.held_back). Non-empty here by construction — the
+    stream's synthetic holes tear ~1/{mod} of transactions."""
+    from ..operators import txn as txn_ops
+
+    stream, meta = _txn_stream(spark, sf_dir)
+    return txn_ops.held_back(stream, meta)
+
+
+CDC_TXN_HELDBACK_SQL = f"""
+WITH ev AS ({_EV_SQL_VALID}),
+{_TXN_GATED_SQL}
+SELECT obs.txn_id, observed, expected_events
+FROM obs JOIN meta USING (txn_id)
+WHERE observed <> expected_events
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4829,6 +4930,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_kmeans_clusters": q_emb_kmeans_clusters,
     "conv_boilerplate_turns": q_conv_boilerplate_turns,
     "cdc_maxwell_roundtrip": q_cdc_maxwell_roundtrip,
+    "cdc_txn_atomic": q_cdc_txn_atomic,
+    "cdc_txn_heldback": q_cdc_txn_heldback,
     "docs_token_mixture": q_docs_token_mixture,
     "docs_lm_score": q_docs_lm_score,
     "docs_tfidf": q_docs_tfidf,
@@ -4941,6 +5044,8 @@ ORACLES: dict[str, str] = {
     "emb_kmeans_clusters": EMB_KMEANS_CLUSTERS_SQL,
     "conv_boilerplate_turns": CONV_BOILERPLATE_SQL,
     "cdc_maxwell_roundtrip": CDC_FINAL_STATE_SQL,
+    "cdc_txn_atomic": CDC_TXN_ATOMIC_SQL,
+    "cdc_txn_heldback": CDC_TXN_HELDBACK_SQL,
     "docs_token_mixture": DOCS_TOKEN_MIXTURE_SQL,
     "docs_lm_score": DOCS_LM_SCORE_SQL,
     "docs_tfidf": DOCS_TFIDF_SQL,
