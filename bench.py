@@ -97,6 +97,7 @@ HEADLINE = [
     "conv_train_eval_split",
     "conv_pii_scrub",
     "conv_near_dups",
+    "docs_keyword_search",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

@@ -4843,6 +4843,32 @@ WHERE observed <> expected_events
 
 
 # --------------------------------------------------------------------------
+# keyword-relevance search (operators/relevance.py)
+# --------------------------------------------------------------------------
+
+_SEARCH_TERMS = ["vector", "merge", "scan"]
+
+
+def q_docs_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: top-25 documents by BM25-shaped term relevance
+    (rational idf — the no-transcendentals oracle-parity variant; see
+    operators/relevance.py). One narrow tf projection + a broadcast 1-row
+    stats reduce + TakeOrderedAndProject — the corpus never shuffles."""
+    from ..operators import relevance
+
+    docs = _read(spark, sf_dir, "documents")
+    return relevance.keyword_topk(docs, "doc_id", "text", _SEARCH_TERMS, k=25)
+
+
+def _docs_keyword_search_sql() -> str:
+    from ..operators import relevance
+
+    return relevance.keyword_topk_sql(
+        "documents", "doc_id", "text", _SEARCH_TERMS, k=25
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -4949,6 +4975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_quality_buckets": q_docs_quality_buckets,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "docs_keyword_search": q_docs_keyword_search,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -5063,4 +5090,5 @@ ORACLES: dict[str, str] = {
     "docs_quality_buckets": DOCS_QUALITY_BUCKETS_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
+    "docs_keyword_search": _docs_keyword_search_sql(),
 }
