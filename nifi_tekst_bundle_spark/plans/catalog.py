@@ -2851,6 +2851,49 @@ def q_cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.table_changes(spark, v_from, v_to)
 
 
+def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): bootstrap the
+    per-conversation rollup from the snapshot after b03, then refresh it
+    to the post-b04 view using ONLY the b03→b04 change feed — never
+    re-reading the table. The DuckDB oracle full-recomputes the rollup
+    over the complete replay, so a green row proves
+    maintain(rollup(v_from), changes) ≡ rollup(v_to) end-to-end through
+    the real commit/CDF machinery."""
+    from ..operators import ivm
+    from ..table.lake import LakeTable
+
+    events = derive_change_events(spark, sf_dir).persist()
+    tmp = tempfile.mkdtemp(prefix="cdc_ivm_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "table"), payload_cols=CDC_PAYLOAD, n_buckets=8
+    )
+    for b in ["b00", "b01", "b02", "b03", "b04"]:
+        table.merge_batch(
+            spark,
+            events.filter(F.col("batch_id") == b),
+            fence_key=f"batch-{b}",
+            batch_id=b,
+        )
+        if b == "b03":
+            v_from = table._head_version()
+    v_to = table._head_version()
+    events.unpersist()
+    prev = ivm.conv_rollup(table.visible_at(spark, v_from))
+    changes = table.table_changes(spark, v_from, v_to)
+    return ivm.maintain_rollup(prev, changes)
+
+
+CDC_INCREMENTAL_ROLLUP_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL})
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars,
+  CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_tool_turns
+FROM final GROUP BY conv_id
+"""
+
+
 # --------------------------------------------------------------------------
 # corpus operators (round-3 batch 2): boilerplate detection, repetition
 # signals, balanced token shards
@@ -4976,6 +5019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "docs_keyword_search": q_docs_keyword_search,
+    "cdc_incremental_rollup": q_cdc_incremental_rollup,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -5091,4 +5135,5 @@ ORACLES: dict[str, str] = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
     "docs_keyword_search": _docs_keyword_search_sql(),
+    "cdc_incremental_rollup": CDC_INCREMENTAL_ROLLUP_SQL,
 }

@@ -1,0 +1,153 @@
+"""Incremental view maintenance tests (operators/ivm.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_tekst_bundle_spark.operators import ivm
+
+CH_DDL = (
+    "conv_id string, turn_idx int, change_type string, "
+    "role string, text string, tool string"
+)
+VIS_DDL = "conv_id string, turn_idx int, role string, text string, tool string"
+
+
+def _rollup_rows(df):
+    return {
+        r["conv_id"]: (r["n_turns"], r["total_chars"], r["n_tool_turns"])
+        for r in df.collect()
+    }
+
+
+def test_maintain_equals_recompute_hand_case(spark):
+    """insert + update + delete across three conversations: the maintained
+    view equals a full recompute of the post-change state."""
+    before = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello", None),
+            ("c1", 1, "assistant", "hi there", "search"),
+            ("c2", 0, "user", "bye", None),
+            ("c3", 0, "user", "keep", None),
+        ],
+        VIS_DDL,
+    )
+    changes = spark.createDataFrame(
+        [
+            # c1: turn 1 text shrinks, tool dropped
+            ("c1", 1, "update_preimage", "assistant", "hi there", "search"),
+            ("c1", 1, "update_postimage", "assistant", "hi", None),
+            # c2: conversation emptied
+            ("c2", 0, "delete", "user", "bye", None),
+            # c4: new conversation arrives
+            ("c4", 0, "insert", "user", "fresh", "calc"),
+        ],
+        CH_DDL,
+    )
+    after = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello", None),
+            ("c1", 1, "assistant", "hi", None),
+            ("c3", 0, "user", "keep", None),
+            ("c4", 0, "user", "fresh", "calc"),
+        ],
+        VIS_DDL,
+    )
+    got = _rollup_rows(
+        ivm.maintain_rollup(ivm.conv_rollup(before), changes)
+    )
+    want = _rollup_rows(ivm.conv_rollup(after))
+    assert got == want
+    assert "c2" not in got  # emptied group left the view
+    assert got["c4"] == (1, 5, 1)  # bootstrap-from-nothing group
+
+
+def test_no_op_update_nets_to_zero(spark):
+    """An update touching no maintained column keeps stats bit-identical."""
+    before = spark.createDataFrame(
+        [("c1", 0, "user", "same", None)],
+        VIS_DDL,
+    )
+    changes = spark.createDataFrame(
+        [
+            ("c1", 0, "update_preimage", "user", "same", None),
+            ("c1", 0, "update_postimage", "assistant", "same", None),
+        ],
+        CH_DDL,
+    )
+    got = _rollup_rows(ivm.maintain_rollup(ivm.conv_rollup(before), changes))
+    assert got == {"c1": (1, 4, 0)}
+
+
+def test_unknown_change_type_fails_loudly(spark):
+    prev = ivm.conv_rollup(
+        spark.createDataFrame(
+            [("c1", 0, "user", "x", None)],
+            VIS_DDL,
+        )
+    )
+    bad = spark.createDataFrame(
+        [("c1", 0, "frobnicate", "user", "x", None)], CH_DDL
+    )
+    with pytest.raises(Exception, match="ivm: unknown change_type"):
+        ivm.maintain_rollup(prev, bad).collect()
+
+
+def test_maintain_matches_recompute_through_lake_cdf(spark, tmp_path):
+    """End-to-end through the real commit/CDF machinery: maintain across
+    the b03→b04 change feed equals full recompute at the head version."""
+    import os
+
+    from nifi_tekst_bundle_spark.plans import catalog
+    from nifi_tekst_bundle_spark.table.lake import LakeTable
+
+    events = catalog.derive_change_events(
+        spark, "/root/testdata/sf0.001"
+    ).persist()
+    table = LakeTable.create(
+        spark,
+        os.path.join(str(tmp_path), "table"),
+        payload_cols=catalog.CDC_PAYLOAD,
+        n_buckets=4,
+    )
+    for b in ["b00", "b01", "b02", "b03", "b04"]:
+        table.merge_batch(
+            spark,
+            events.filter(F.col("batch_id") == b),
+            fence_key=f"batch-{b}",
+            batch_id=b,
+        )
+        if b == "b03":
+            v_from = table._head_version()
+    v_to = table._head_version()
+    events.unpersist()
+    maintained = ivm.maintain_rollup(
+        ivm.conv_rollup(table.visible_at(spark, v_from)),
+        table.table_changes(spark, v_from, v_to),
+    )
+    recomputed = ivm.conv_rollup(table.visible(spark))
+    assert _rollup_rows(maintained) == _rollup_rows(recomputed)
+
+
+def test_delta_join_is_group_keyed_single_join(spark):
+    """Plan pin: the merge is ONE join on the group key — no corpus-wide
+    re-aggregation of the previous view's source."""
+    prev = spark.createDataFrame(
+        [("c1", 1, 5, 0)], ["conv_id", "n_turns", "total_chars", "n_tool_turns"]
+    )
+    changes = spark.createDataFrame(
+        [("c2", 0, "insert", "user", "y", None)], CH_DDL
+    )
+    plan = (
+        ivm.maintain_rollup(prev, changes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Join") >= 1
+    # exactly one join operator in the merged plan
+    import re
+
+    joins = re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
+    assert len(joins) == 1
