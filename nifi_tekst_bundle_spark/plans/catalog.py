@@ -4377,6 +4377,98 @@ def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.scd2_history(normalized, CDC_PAYLOAD)
 
 
+def q_cdc_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against the SCD2 history — the standard
+    CDC-consumer pattern (enrich a fact row with the dimension version
+    that was valid at its timestamp). Probes are derived deterministically
+    from the event stream at three LSN offsets (exact version boundary,
+    mid-interval, before-first-version → NULL enrichment), then each probe
+    attaches the version with the greatest valid_from_lsn ≤ probe_lsn via
+    the union+window as-of form (operators/temporal.py asof_join) — ONE
+    shuffle on the key, never a range theta-join (at 100 TB a BETWEEN
+    join on validity intervals is a broadcast-nested-loop disaster; the
+    as-of form shuffles each side once and streams)."""
+    from ..operators import audit, temporal
+
+    events = derive_change_events(spark, sf_dir)
+    good, _dead = resolve.validate(events, [])
+    normalized = good.select("lsn", "op", "conv_id", "turn_idx", *CDC_PAYLOAD)
+    scd = audit.scd2_history(normalized, CDC_PAYLOAD)
+    # the version travels as ONE struct so every enrichment field comes
+    # from the SAME matched version row — per-column ignorenulls carry
+    # would resurrect an older non-null text across a delete-fenced
+    # (NULL-text) version
+    dim = scd.select(
+        "conv_id",
+        "turn_idx",
+        "valid_from_lsn",
+        F.struct(
+            F.col("valid_from_lsn").alias("version_lsn"),
+            F.col("row_visible").alias("visible_at"),
+            F.col("text").alias("text_at"),
+        ).alias("_ver"),
+    )
+    probes = normalized.filter((F.col("lsn") % 7).isin(0, 1, 2)).select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("lsn") % 7 == 0, F.col("lsn"))
+        .when(F.col("lsn") % 7 == 1, F.col("lsn") + 3)
+        .otherwise(F.col("lsn") - 1)
+        .alias("probe_lsn"),
+    )
+    joined = temporal.asof_join(
+        probes,
+        dim,
+        on=["conv_id", "turn_idx"],
+        left_ts="probe_lsn",
+        right_ts="valid_from_lsn",
+        value_cols=["_ver"],
+        suffix="",
+    )
+    return joined.select(
+        "conv_id",
+        "turn_idx",
+        "probe_lsn",
+        F.col("_ver.version_lsn").alias("version_lsn"),
+        F.col("_ver.visible_at").alias("visible_at"),
+        F.col("_ver.text_at").alias("text_at"),
+    )
+
+
+CDC_SCD2_PIT_SQL = f"""
+WITH scd AS ({CDC_SCD2_SQL}),
+ev AS ({_EV_SQL_VALID}),
+ev2 AS (
+  SELECT lsn,
+         coalesce(conv_id, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0')) AS conv_id,
+         turn_idx
+  FROM ev
+),
+probes AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN lsn % 7 = 0 THEN lsn
+         WHEN lsn % 7 = 1 THEN lsn + 3
+         ELSE lsn - 1 END AS probe_lsn
+  FROM ev2 WHERE lsn % 7 IN (0, 1, 2)
+),
+j AS (
+  SELECT p.conv_id, p.turn_idx, p.probe_lsn,
+         s.valid_from_lsn AS version_lsn,
+         s.row_visible AS visible_at,
+         s.text AS text_at,
+         row_number() OVER (
+           PARTITION BY p.conv_id, p.turn_idx, p.probe_lsn
+           ORDER BY s.valid_from_lsn DESC) AS rn
+  FROM probes p
+  LEFT JOIN scd s
+    ON s.conv_id = p.conv_id AND s.turn_idx = p.turn_idx
+   AND s.valid_from_lsn <= p.probe_lsn
+)
+SELECT conv_id, turn_idx, probe_lsn, version_lsn, visible_at, text_at
+FROM j WHERE rn = 1
+"""
+
+
 _RECON_DIFF = ", ".join(
     f"CASE WHEN l.{c} IS DISTINCT FROM r.{c} THEN '{c}' END" for c in CDC_PAYLOAD
 )
@@ -5020,6 +5112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": q_events_retention,
     "docs_keyword_search": q_docs_keyword_search,
     "cdc_incremental_rollup": q_cdc_incremental_rollup,
+    "cdc_scd2_pit_join": q_cdc_scd2_pit_join,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -5136,4 +5229,5 @@ ORACLES: dict[str, str] = {
     "events_retention": EVENTS_RETENTION_SQL,
     "docs_keyword_search": _docs_keyword_search_sql(),
     "cdc_incremental_rollup": CDC_INCREMENTAL_ROLLUP_SQL,
+    "cdc_scd2_pit_join": CDC_SCD2_PIT_SQL,
 }

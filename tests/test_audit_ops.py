@@ -139,3 +139,47 @@ def test_gap_audit_plan_has_no_global_sort_of_the_stream(spark):
     # window is the only SinglePartition exchange
     assert plan.count("SinglePartition") <= 1
     assert "hashpartitioning(_chunk" in plan
+
+
+def test_scd2_pit_join_does_not_resurrect_across_delete_fence(spark):
+    """Point-in-time enrichment must take EVERY field from the single
+    matched version row: a probe landing on a delete-fenced version gets
+    NULL text, not the previous version's non-null text (the hazard of a
+    per-column ignorenulls carry). Probe before the first version gets a
+    fully NULL enrichment."""
+    from nifi_tekst_bundle_spark.operators import temporal
+
+    events = spark.createDataFrame(
+        [
+            ("c1", 0, 10, "insert", "user", "hello", None),
+            ("c1", 0, 20, "delete", None, None, None),
+            ("c1", 0, 30, "update", "user", "back", None),
+        ],
+        "conv_id string, turn_idx int, lsn long, op string, "
+        "role string, text string, tool string",
+    )
+    scd = audit.scd2_history(events, ["role", "text", "tool"])
+    dim = scd.select(
+        "conv_id", "turn_idx", "valid_from_lsn",
+        F.struct(
+            F.col("valid_from_lsn").alias("version_lsn"),
+            F.col("row_visible").alias("visible_at"),
+            F.col("text").alias("text_at"),
+        ).alias("_ver"),
+    )
+    probes = spark.createDataFrame(
+        [("c1", 0, 5), ("c1", 0, 25), ("c1", 0, 35)],
+        "conv_id string, turn_idx int, probe_lsn long",
+    )
+    out = temporal.asof_join(
+        probes, dim, on=["conv_id", "turn_idx"],
+        left_ts="probe_lsn", right_ts="valid_from_lsn",
+        value_cols=["_ver"], suffix="",
+    ).select("probe_lsn", "_ver.*")
+    rows = {r["probe_lsn"]: r for r in out.collect()}
+    assert rows[5]["version_lsn"] is None  # before first version
+    # probe at 25 lands on the delete-fenced version: text must be NULL
+    assert rows[25]["version_lsn"] == 20
+    assert rows[25]["visible_at"] is False
+    assert rows[25]["text_at"] is None
+    assert rows[35]["version_lsn"] == 30 and rows[35]["text_at"] == "back"
