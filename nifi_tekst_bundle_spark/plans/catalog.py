@@ -2883,6 +2883,52 @@ def q_cdc_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivm.maintain_rollup(prev, changes)
 
 
+def q_cdc_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten (table/lake.py erase_keys): build the
+    transcripts table through five fenced commits, then physically erase
+    every conversation whose hash64 lands in a deterministic residue
+    class (standing in for the data subject's conversations) — a
+    bucket-pruned rewrite plus a history purge that makes pre-erasure
+    snapshots unreadable by design. The oracle replays the full log and
+    merely filters, so a green row proves erasure removed exactly the
+    requested keys and nothing else. The driver-side key list is the real
+    contract (an erasure request is per-data-subject, a handful of keys,
+    never data-sized)."""
+    from ..operators.dedup import hash64
+    from ..table.lake import LakeTable
+
+    events = derive_change_events(spark, sf_dir).persist()
+    tmp = tempfile.mkdtemp(prefix="cdc_forget_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "table"), payload_cols=CDC_PAYLOAD, n_buckets=8
+    )
+    for b in ["b00", "b01", "b02", "b03", "b04"]:
+        table.merge_batch(
+            spark,
+            events.filter(F.col("batch_id") == b),
+            fence_key=f"batch-{b}",
+            batch_id=b,
+        )
+    events.unpersist()
+    forget = [
+        r[0]
+        for r in table.visible(spark)
+        .select("conv_id")
+        .distinct()
+        .filter(hash64(F.col("conv_id")) % 13 == 5)
+        .collect()
+    ]
+    table.erase_keys(spark, forget)
+    return table.visible(spark)
+
+
+CDC_FORGET_KEYS_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL})
+SELECT * FROM final
+WHERE ('0x' || substr(md5(conv_id), 1, 15))::INT64 % 13 <> 5
+"""
+
+
 CDC_INCREMENTAL_ROLLUP_SQL = f"""
 WITH final AS ({CDC_FINAL_STATE_SQL})
 SELECT conv_id,
@@ -5113,6 +5159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_keyword_search": q_docs_keyword_search,
     "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "cdc_scd2_pit_join": q_cdc_scd2_pit_join,
+    "cdc_forget_keys": q_cdc_forget_keys,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -5230,4 +5277,5 @@ ORACLES: dict[str, str] = {
     "docs_keyword_search": _docs_keyword_search_sql(),
     "cdc_incremental_rollup": CDC_INCREMENTAL_ROLLUP_SQL,
     "cdc_scd2_pit_join": CDC_SCD2_PIT_SQL,
+    "cdc_forget_keys": CDC_FORGET_KEYS_SQL,
 }

@@ -80,6 +80,11 @@ class Manifest:
     # compacted (event lsns start at 1). Missing in legacy manifests →
     # dataclass default.
     lsn_watermark: int = 0
+    # Erasure horizon: erase_keys() physically purged register history
+    # below this version, so time travel / CDF reads below it must refuse
+    # (the files are gone BY DESIGN — right-to-be-forgotten, not rot).
+    # 0 = never erased. Missing in legacy manifests → dataclass default.
+    erase_floor: int = 0
 
     @staticmethod
     def empty(n_buckets: int, payload_cols: list[str]) -> "Manifest":
@@ -370,6 +375,14 @@ class LakeTable:
             raise ValueError(
                 f"version {version} out of range: committed history is "
                 f"1..{head} (beyond-HEAD manifests are crash orphans)"
+            )
+        floor = int(getattr(self.manifest(), "erase_floor", 0) or 0)
+        if version < floor:
+            raise ValueError(
+                f"version {version} is below the erasure horizon v{floor}: "
+                "erase_keys() physically purged that history "
+                "(right-to-be-forgotten) — snapshots before the erasure "
+                "are unreadable by design"
             )
         path = os.path.join(self.meta_dir, f"v{version:06d}.json")
         try:
@@ -771,6 +784,7 @@ class LakeTable:
             lineage=m.lineage,
             dead_letter_files=m.dead_letter_files,
             lsn_watermark=lsn_wm,
+            erase_floor=int(getattr(m, "erase_floor", 0) or 0),
         )
         try:
             self._write_manifest(new_manifest)
@@ -1219,8 +1233,144 @@ class LakeTable:
             lineage=m.lineage,
             dead_letter_files=m.dead_letter_files,
             lsn_watermark=max(int(getattr(m, "lsn_watermark", 0) or 0), lsn_watermark),
+            erase_floor=int(getattr(m, "erase_floor", 0) or 0),
         )
         self._write_manifest(new_manifest)
+
+    def erase_keys(self, spark: SparkSession, conv_ids: list[str]) -> dict:
+        """Physically erase conversations from the table AND its history —
+        the right-to-be-forgotten operation a delete event cannot perform
+        (a delete is a tombstone: the text stays in old snapshots, readable
+        via time travel, until vacuum happens to reclaim them; erasure is a
+        guarantee, not a side effect of retention).
+
+        Reference analogue: DeleteAllS3ObjectsByPrefix.kt removes every
+        object under a prefix — the bundle's "remove this item everywhere"
+        operation — lifted to snapshot-versioned tables where "everywhere"
+        includes history.
+
+        What happens, in one commit + one purge pass:
+          1. bucket-pruned rewrite: only the buckets that can contain the
+             keys (same hash as the write path) are read, filtered, and
+             rewritten — cost ∝ affected buckets, never table size;
+          2. the new manifest records ``erase_floor = new version``: time
+             travel / CDF below the floor refuses loudly (manifest_at);
+          3. every register file referenced only by pre-floor manifests in
+             the affected buckets is physically deleted (unaffected
+             buckets' history stays time-travelable);
+          4. dead-letter ``detail`` payloads mentioning an erased key are
+             redacted in place (driver-side pyarrow, side-table scale) —
+             the audit row survives, the text does not.
+
+        Erasure is an operator action on the single writer (like vacuum/
+        rebucket), not a stream event: replaying pre-erasure binlog
+        offsets re-introduces the data, so pair it with stream retention —
+        the same contract as any physical purge (Delta VACUUM + CDF).
+
+        ``conv_ids`` is a driver-side list: erasure requests are
+        per-data-subject (a handful of keys, not a data-sized set);
+        batch large request sets.
+        """
+        ids = sorted({c for c in conv_ids if c})
+        if not ids:
+            raise ValueError("erase_keys needs at least one conv_id")
+        m = self.manifest()
+        n_buckets = m.n_buckets
+        key_df = spark.createDataFrame([(c,) for c in ids], "conv_id string")
+        affected = {
+            r[0]
+            for r in key_df.select(bucket_expr(n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        }
+        regs = self._read_registers_of(spark, m, affected).persist()
+        rows_erased = regs.filter(F.col("conv_id").isin(ids)).count()
+        kept_regs = regs.filter(~F.col("conv_id").isin(ids))
+        new_files = self._write_register_files(
+            kept_regs, n_buckets, tag="erase"
+        )
+        regs.unpersist()
+        kept = [f for f in m.files if f["bucket"] not in affected]
+        new_manifest = Manifest(
+            version=m.version + 1,
+            payload_cols=m.payload_cols,
+            n_buckets=n_buckets,
+            files=kept + new_files,
+            committed=m.committed,
+            lineage=m.lineage,
+            dead_letter_files=m.dead_letter_files,
+            lsn_watermark=int(getattr(m, "lsn_watermark", 0) or 0),
+            erase_floor=m.version + 1,
+        )
+        self._write_manifest(new_manifest)
+
+        # physical history purge: a register file referenced by any
+        # pre-floor manifest in an affected bucket may hold the erased
+        # rows; everything the new HEAD still references survives (those
+        # are exactly the unaffected-bucket files it inherited)
+        live = {f["path"] for f in new_manifest.files}
+        purged = 0
+        for v in range(1, new_manifest.version):
+            path = os.path.join(self.meta_dir, f"v{v:06d}.json")
+            try:
+                with open(path) as fh:
+                    old = Manifest.from_json(fh.read())
+            except (FileNotFoundError, ValueError, KeyError, TypeError):
+                continue  # already vacuumed / legacy gap
+            for f in old.files:
+                if f["bucket"] in affected and f["path"] not in live:
+                    try:
+                        os.remove(f["path"])
+                        purged += 1
+                    except FileNotFoundError:
+                        pass
+        redacted = self._redact_dead_letters(ids)
+        return {
+            "version": new_manifest.version,
+            "rows_erased": rows_erased,
+            "buckets_rewritten": len(affected),
+            "history_files_purged": purged,
+            "dead_letter_details_redacted": redacted,
+        }
+
+    def _redact_dead_letters(self, ids: list[str]) -> int:
+        """NULL out dead-letter ``detail`` payloads (raw wire lines) that
+        mention an erased key. Driver-side pyarrow like _append_lineage —
+        the dead-letter side table is malformed-event-sized, never
+        data-sized. Redaction keeps the audit row; note distinct corrupt
+        lines for one fence collapse after redaction (the read path
+        dedupes on (fence_key, lsn, detail)) — counts trade fidelity for
+        the erasure guarantee."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        redacted = 0
+        for root, _dirs, fns in os.walk(self.dl_dir):
+            for fn in fns:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                t = pq.read_table(p)
+                if "detail" not in t.column_names:
+                    continue
+                det = t.column("detail").to_pylist()
+                mask = [
+                    d is not None and any(i in d for i in ids) for d in det
+                ]
+                if not any(mask):
+                    continue
+                new_det = pa.array(
+                    [None if mk else d for d, mk in zip(det, mask)],
+                    pa.string(),
+                )
+                t2 = t.set_column(
+                    t.column_names.index("detail"), "detail", new_det
+                )
+                tmp = p + f".redact-{uuid.uuid4().hex[:8]}"
+                pq.write_table(t2, tmp)
+                os.replace(tmp, p)
+                redacted += sum(mask)
+        return redacted
 
     def rebucket(self, spark: SparkSession, n_new: int) -> None:
         """Rewrite every register into ``n_new`` hash buckets as one
@@ -1256,5 +1406,6 @@ class LakeTable:
             lineage=m.lineage,
             dead_letter_files=m.dead_letter_files,
             lsn_watermark=int(getattr(m, "lsn_watermark", 0) or 0),
+            erase_floor=int(getattr(m, "erase_floor", 0) or 0),
         )
         self._write_manifest(new_manifest)
