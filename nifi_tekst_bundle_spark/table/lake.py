@@ -360,6 +360,26 @@ class LakeTable:
         m = self.manifest()
         return lww.visible(self.read_registers(spark), m.payload_cols)
 
+    def lookup(self, spark: SparkSession, conv_id: str) -> DataFrame:
+        """Point read: the visible turns of ONE conversation, scanning only
+        the bucket its key hashes to — O(bucket), not O(table). At 4096
+        buckets over 100 TB that is a ~25 GB read instead of a full scan;
+        the serving-layer primitive (the reference's per-item S3 prefix
+        GET, DownloadMultipleS3FilesByPrefix.kt, transposed to the bucket
+        layout). The bucket is computed with the SAME expression as the
+        write path (one 1-row Spark job, so the hash is bit-identical to
+        what partitioned the data)."""
+        m = self.manifest()
+        b = (
+            spark.createDataFrame([(conv_id,)], "conv_id string")
+            .select(bucket_expr(m.n_buckets).alias("b"))
+            .first()[0]
+        )
+        vis = lww.visible(
+            self.read_registers(spark, buckets={b}), m.payload_cols
+        )
+        return vis.filter(F.col("conv_id") == conv_id)
+
     # ---------- time travel + change data feed ----------
 
     def manifest_at(self, version: int) -> Manifest:

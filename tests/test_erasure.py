@@ -142,3 +142,25 @@ def test_vacuum_after_erase(spark, tmp_path):
     t.erase_keys(spark, ["conv-0005"])
     t.vacuum()  # must not raise; head stays readable
     assert t.visible(spark).filter(F.col("conv_id") == "conv-0005").count() == 0
+
+
+def test_lookup_scans_only_the_keys_bucket(spark, tmp_path):
+    """Point read touches just the one bucket's files (inputFiles pin) and
+    matches the full-table read's answer."""
+    t = _mk_table(spark, tmp_path)
+    m = t.manifest()
+    target = "conv-0003"
+    got = t.lookup(spark, target)
+    want = t.visible(spark).filter(F.col("conv_id") == target)
+    assert sorted(r["text"] for r in got.collect()) == sorted(
+        r["text"] for r in want.collect()
+    )
+    b = (
+        spark.createDataFrame([(target,)], "conv_id string")
+        .select(bucket_expr(m.n_buckets).alias("b"))
+        .first()[0]
+    )
+    bucket_paths = {f["path"] for f in m.files if f["bucket"] == b}
+    scanned = {p.removeprefix("file://") for p in got.inputFiles()}
+    assert scanned and scanned <= bucket_paths
+    assert len(scanned) < len(m.files)

@@ -151,3 +151,42 @@ def test_delta_join_is_group_keyed_single_join(spark):
 
     joins = re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
     assert len(joins) == 1
+
+
+def test_ivm_composes_with_streaming_commits(spark, tmp_path):
+    """The serving-layer loop: bootstrap the rollup at the stream's first
+    committed version, then fold table_changes version-by-version through
+    maintain_rollup — the final maintained view equals a full recompute at
+    HEAD. Proves IVM works over the REAL commit sequence the streaming
+    runner produces (fenced epochs, not synthetic diffs)."""
+    import os
+
+    from nifi_tekst_bundle_spark.fixtures import write_binlog_segments
+    from nifi_tekst_bundle_spark.plans import catalog
+    from nifi_tekst_bundle_spark.streaming import runner
+    from nifi_tekst_bundle_spark.table.lake import LakeTable
+
+    events = catalog.derive_change_events(spark, "/root/testdata/sf0.001")
+    flat = os.path.join(str(tmp_path), "flat")
+    write_binlog_segments(events, flat)
+    table = LakeTable.create(
+        spark,
+        os.path.join(str(tmp_path), "table"),
+        payload_cols=catalog.CDC_PAYLOAD,
+        n_buckets=4,
+    )
+    runner.run_to_completion(
+        spark, flat, table, os.path.join(str(tmp_path), "ckpt"),
+        run_id="ivm", max_files_per_trigger=2,
+    )
+    head = table._head_version()
+    assert head >= 2  # several commits, so the fold is non-trivial
+    view = ivm.conv_rollup(table.visible_at(spark, 1))
+    for v in range(1, head):
+        view = ivm.maintain_rollup(view, table.table_changes(spark, v, v + 1))
+        # checkpoint the fold so the plan doesn't grow across versions
+        # (same constant-plan discipline as operators/apply.py)
+        view = view.localCheckpoint(eager=True)
+    assert _rollup_rows(view) == _rollup_rows(
+        ivm.conv_rollup(table.visible(spark))
+    )
