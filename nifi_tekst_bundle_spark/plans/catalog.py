@@ -4375,6 +4375,48 @@ def q_cdc_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.gap_audit(good, chunk=4096)
 
 
+CDC_SOURCE_ORDER_SQL = """
+WITH l AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(coalesce(sum(CASE WHEN ts < prev THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_inversions,
+  round(coalesce(sum(CASE WHEN ts < prev THEN 1 ELSE 0 END), 0) * 1.0
+        / count(*), 6) AS inversion_ratio
+FROM l GROUP BY user_id
+"""
+
+
+def q_cdc_source_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-health audit: per stream key, how often event TIME runs
+    backwards relative to binlog ORDER (lag over (key, position)). A
+    nonzero inversion rate means the source's clocks skew or transactions
+    commit out of event-time order — exactly what decides whether
+    downstream event-time watermarks (events_time_windows,
+    cdc_watermark_lag) can be trusted, and the complement of gap_audit
+    (which checks the position sequence itself). ONE shuffle on the key:
+    the running-lag window and the groupBy share the same partitioning,
+    so the aggregate adds no second exchange; output is key-cardinality,
+    never event-cardinality."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lagged = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("_prev")
+    )
+    inv = (F.col("ts") < F.col("_prev")).cast("long")
+    return lagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.coalesce(F.sum(inv), F.lit(0)).alias("n_inversions"),
+        F.round(
+            F.coalesce(F.sum(inv), F.lit(0)) * 1.0 / F.count("*"), 6
+        ).alias("inversion_ratio"),
+    )
+
+
 def _scd2_col_sql(c: str) -> str:
     return (
         f"CASE WHEN coalesce(last_value(CASE WHEN op <> 'delete' AND {c} IS NOT NULL"
@@ -5160,6 +5202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_incremental_rollup": q_cdc_incremental_rollup,
     "cdc_scd2_pit_join": q_cdc_scd2_pit_join,
     "cdc_forget_keys": q_cdc_forget_keys,
+    "cdc_source_order_audit": q_cdc_source_order_audit,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -5278,4 +5321,5 @@ ORACLES: dict[str, str] = {
     "cdc_incremental_rollup": CDC_INCREMENTAL_ROLLUP_SQL,
     "cdc_scd2_pit_join": CDC_SCD2_PIT_SQL,
     "cdc_forget_keys": CDC_FORGET_KEYS_SQL,
+    "cdc_source_order_audit": CDC_SOURCE_ORDER_SQL,
 }

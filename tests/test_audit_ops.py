@@ -183,3 +183,43 @@ def test_scd2_pit_join_does_not_resurrect_across_delete_fence(spark):
     assert rows[25]["visible_at"] is False
     assert rows[25]["text_at"] is None
     assert rows[35]["version_lsn"] == 30 and rows[35]["text_at"] == "back"
+
+
+def test_source_order_audit_counts_and_single_shuffle(spark):
+    """Hand-built inversions: key A has one event-time inversion, key B is
+    monotone. Plan pin: the lag window and the aggregate share ONE
+    exchange on the key."""
+    import datetime as dt
+
+    from nifi_tekst_bundle_spark.plans import catalog
+
+    def t(s):
+        return dt.datetime(2026, 1, 1, 0, 0, s)
+
+    ev = spark.createDataFrame(
+        [
+            (1, t(10), 1, "view", 0.0, None),
+            (2, t(5), 1, "view", 0.0, None),   # inversion for user 1
+            (3, t(20), 1, "view", 0.0, None),
+            (4, t(1), 2, "view", 0.0, None),
+            (5, t(2), 2, "view", 0.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="soa_")
+    ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    out = catalog.q_cdc_source_order_audit(spark, d)
+    rows = {r["user_id"]: r for r in out.collect()}
+    assert rows[1]["n_inversions"] == 1 and rows[1]["n_events"] == 3
+    assert rows[2]["n_inversions"] == 0
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
