@@ -511,3 +511,62 @@ def hard_negatives(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the deterministic Lloyd
+    cells, then compare pairs ONLY within a cell and drop every vector
+    that has a lower-id cell-mate with cosine ≥ ``threshold`` — the
+    min-id representative of each ε-neighborhood survives.
+
+    Output: one row per vector — (id, cluster_id, verdict 'keep'/'drop').
+    The threshold compares round(cosine, 6) so a SQL oracle using the
+    same left-fold dot/norm sees the identical boundary decisions.
+
+    Scale shape: clustering is the zero-shuffle literal argmax
+    (kmeans_centroids); the quadratic is fenced to cells, so cost is
+    Σ|cell|² — the operator of n_centroids. Size n_centroids ≈
+    corpus / target_cell_size (SemDeDup uses ~10⁴ cells at web scale);
+    the join shuffles on cid (n_centroids partitions — rely on AQE for
+    residual cell skew, or re-cluster with more centroids when a cell
+    outgrows executor memory; the kmeans sizes table from kmeans_assign
+    is the cheap pre-check). Never a corpus-wide self-join.
+    """
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, n_iter)
+    asg = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        _argmax_centroid(F.col(vec_col), cents).alias("cid"),
+    )
+    a = asg.select(
+        F.col(id_col).alias("_aid"), F.col("_v").alias("_av"), "cid"
+    )
+    b = asg.select(
+        F.col(id_col).alias("_bid"), F.col("_v").alias("_bv"), "cid"
+    )
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("_aid") < F.col("_bid"))
+        .filter(
+            F.round(cosine(F.col("_av"), F.col("_bv")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return asg.join(dup, id_col, "left").select(
+        F.col(id_col),
+        F.col("cid").cast("int").alias("cluster_id"),
+        F.when(F.col("_dup"), F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )

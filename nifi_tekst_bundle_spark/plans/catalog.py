@@ -1666,6 +1666,50 @@ FROM cells s JOIN sizes z USING (cid)
 """
 
 
+def _semantic_dedup_sql(threshold: float = 0.35) -> str:
+    cos = (
+        _DOT.format(a="a.v", b="b.v")
+        + " / (" + _NRM.format(a="a.v") + " * " + _NRM.format(a="b.v") + ")"
+    )
+    return _kmeans_cells_sql() + f""",
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round({cos}, 6) >= {threshold!r}
+)
+SELECT c.vec_id, CAST(c.cid AS INT) AS cluster_id,
+  CASE WHEN d.vec_id IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict
+FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
+"""
+
+
+EMB_SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semantic_dedup): deterministic-Lloyd cells
+    fence the pairwise cosine to within-cell comparisons; every vector
+    with a lower-id cell-mate at cosine ≥ τ is dropped, the min-id
+    representative kept. τ = 0.15 on the synthetic embeddings (64-dim random
+    vectors have cosine std ≈ 1/8, so 0.35 ≈ a 3σ near-dup tail; real
+    near-dup corpora use ~0.9+ —
+    the decision machinery is identical). The oracle replays the same
+    unrolled Lloyd chain plus a naive within-cell self-join."""
+    from ..operators import similarity
+
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    return similarity.semantic_dedup(emb, threshold=0.35)
+
+
 def q_emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus clustering table (similarity.kmeans_assign): per-vector
     deterministic-Lloyd cell + exact cluster size — the starting table
@@ -5203,6 +5247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_scd2_pit_join": q_cdc_scd2_pit_join,
     "cdc_forget_keys": q_cdc_forget_keys,
     "cdc_source_order_audit": q_cdc_source_order_audit,
+    "emb_semantic_dedup": q_emb_semantic_dedup,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -5322,4 +5367,5 @@ ORACLES: dict[str, str] = {
     "cdc_scd2_pit_join": CDC_SCD2_PIT_SQL,
     "cdc_forget_keys": CDC_FORGET_KEYS_SQL,
     "cdc_source_order_audit": CDC_SOURCE_ORDER_SQL,
+    "emb_semantic_dedup": EMB_SEMANTIC_DEDUP_SQL,
 }

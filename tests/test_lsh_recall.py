@@ -174,3 +174,26 @@ def test_kmeans_ivf_recall_at_5_beats_or_matches_stride(spark):
     # probed row is the fair lens, but the hard floor is parity-adjusted
     assert r_learned >= r_stride - 0.1, (r_learned, r_stride)
     assert r_learned >= 0.5, r_learned
+
+
+def test_semantic_dedup_drops_seeded_near_dup_keeps_min_id(spark):
+    """A planted exact duplicate (cosine 1.0) of a lower-id vector must be
+    dropped while the lower-id representative and unrelated vectors stay.
+    Orthogonal vectors never cross any threshold < 1."""
+    import numpy as np
+
+    from nifi_tekst_bundle_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = [list(map(float, rng.normal(size=16))) for _ in range(10)]
+    rows = [(i, base[i]) for i in range(10)]
+    rows.append((10, list(base[3])))          # exact dup of vec 3
+    rows.append((11, [x * 2.0 for x in base[5]]))  # scaled dup of vec 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(
+        df, n_centroids=2, n_iter=1, threshold=0.95
+    )
+    v = {r["vec_id"]: r["verdict"] for r in out.collect()}
+    assert v[10] == "drop" and v[3] == "keep"   # min-id representative
+    assert v[11] == "drop" and v[5] == "keep"   # cosine is scale-invariant
+    assert sum(1 for x in v.values() if x == "drop") == 2
