@@ -98,6 +98,8 @@ HEADLINE = [
     "conv_pii_scrub",
     "conv_near_dups",
     "docs_keyword_search",
+    "cdc_scd2_pit_join",
+    "cdc_source_order_audit",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that
