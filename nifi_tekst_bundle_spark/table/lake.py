@@ -1257,6 +1257,34 @@ class LakeTable:
         )
         self._write_manifest(new_manifest)
 
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Drop historical manifests beyond the newest ``keep_last``
+        versions — the Iceberg expireSnapshots analogue that bounds
+        metadata growth over a 10^10-event replay (one manifest per epoch
+        commit; a year of minutely epochs is ~500k files without expiry).
+
+        Metadata-only and loud: expired versions' ``manifest_at`` raises
+        the existing "no longer exists" error; their data files become
+        unreferenced-by-any-remaining-manifest and are reclaimed by the
+        next ``vacuum()`` (which already keeps only HEAD-referenced
+        files). Single-writer operation like vacuum/rebucket. HEAD and
+        the fence map are untouched — exactly-once re-delivery does not
+        depend on expired history. Returns the number of manifests
+        removed."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        head = self._head_version()
+        cutoff = head - keep_last + 1
+        removed = 0
+        for v in range(1, cutoff):
+            path = os.path.join(self.meta_dir, f"v{v:06d}.json")
+            try:
+                os.remove(path)
+                removed += 1
+            except FileNotFoundError:
+                pass
+        return removed
+
     def erase_keys(self, spark: SparkSession, conv_ids: list[str]) -> dict:
         """Physically erase conversations from the table AND its history —
         the right-to-be-forgotten operation a delete event cannot perform

@@ -164,3 +164,29 @@ def test_lookup_scans_only_the_keys_bucket(spark, tmp_path):
     scanned = {p.removeprefix("file://") for p in got.inputFiles()}
     assert scanned and scanned <= bucket_paths
     assert len(scanned) < len(m.files)
+
+
+def test_expire_snapshots_bounds_metadata_and_keeps_head(spark, tmp_path):
+    """Expiry removes pre-horizon manifests (time travel to them raises
+    the loud 'no longer exists' error), keeps the newest keep_last
+    versions readable, and leaves the fence map intact so re-delivery
+    stays exactly-once."""
+    t = _mk_table(spark, tmp_path)  # two commits: v1, v2
+    extra = spark.createDataFrame(
+        [(600, "b02", "insert", "conv-0000", 20, "user", "third",
+          None, None, None, 1, None)],
+        DDL,
+    )
+    t.merge_batch(spark, extra, fence_key="f2", batch_id="b02")
+    head = t._head_version()
+    assert head >= 3
+    removed = t.expire_snapshots(keep_last=2)
+    assert removed == head - 2  # everything below the keep horizon
+    with pytest.raises(ValueError, match="no longer exists"):
+        t.manifest_at(head - 2)
+    assert t.visible_at(spark, head - 1).count() > 0  # kept history reads
+    # fences survive: re-delivery is still a no-op
+    assert t.merge_batch(spark, extra, fence_key="f2", batch_id="b02") is False
+    assert t.visible(spark).filter(F.col("text") == "third").count() == 1
+    with pytest.raises(ValueError, match="keep_last"):
+        t.expire_snapshots(keep_last=0)
