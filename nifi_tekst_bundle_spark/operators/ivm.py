@@ -110,3 +110,92 @@ def changed_groups(changes: DataFrame) -> DataFrame:
     """Distinct group keys touched by a change batch — the pruning set for
     group-pruned recompute of non-self-maintainable aggregates."""
     return changes.select(GROUP_KEY).distinct()
+
+
+class MaterializedRollup:
+    """Crash-safe materialized view of `conv_rollup` kept current against
+    a LakeTable via its change feed — the serving-layer loop productized.
+
+    `refresh()` reads the view's recorded base version and applies ONE
+    `table_changes(base, head)` diff through `maintain_rollup` (CDF
+    computes net changes between ANY two versions, so catching up N
+    commits costs one diff, not N folds). State lives as
+    ``rollup-<version>/`` parquet plus a STATE json written LAST: a crash
+    between the parquet write and the STATE swap leaves the old state
+    authoritative and the next refresh simply rediffs from the old base —
+    idempotent, no torn view. If the base version became unreadable
+    (vacuumed history, or an `erase_keys` floor — the view could be
+    serving erased text), the view REBOOTSTRAPS with a full recompute at
+    HEAD, which is also how erasure propagates to the view.
+
+    Scale shape: refresh cost ∝ rows changed since the base version (CDF
+    bucket pruning) + one group-keyed merge join; the bootstrap is the
+    only table-sized pass.
+    """
+
+    def __init__(self, root: str):
+        import os
+
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _state_path(self) -> str:
+        import os
+
+        return os.path.join(self.root, "STATE.json")
+
+    def _load_state(self) -> dict | None:
+        import json
+
+        try:
+            with open(self._state_path()) as f:
+                return json.loads(f.read())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def read(self, spark) -> DataFrame:
+        """Current view contents (the last refreshed state)."""
+        import os
+
+        st = self._load_state()
+        if st is None:
+            raise ValueError(
+                "materialized rollup has never been refreshed"
+            )
+        return spark.read.parquet(os.path.join(self.root, st["dir"]))
+
+    def refresh(self, spark, table) -> int:
+        """Catch the view up to the table's HEAD. Returns the version the
+        view now reflects."""
+        import json
+        import os
+        import shutil
+        import uuid
+
+        head = table._head_version()
+        st = self._load_state()
+        if st is not None and st["version"] == head:
+            return head
+        if st is None:
+            new = conv_rollup(table.visible(spark))
+        else:
+            try:
+                changes = table.table_changes(spark, st["version"], head)
+                new = maintain_rollup(self.read(spark), changes)
+            except ValueError:
+                # base version purged (vacuum / erase floor): rebootstrap —
+                # for erasure this is exactly how the view forgets too
+                new = conv_rollup(table.visible(spark))
+        tag = f"rollup-{head}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.root, tag)
+        new.write.parquet(out)
+        tmp = self._state_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"version": head, "dir": tag}))
+        os.replace(tmp, self._state_path())
+        for entry in os.listdir(self.root):
+            if entry.startswith("rollup-") and entry != tag:
+                shutil.rmtree(
+                    os.path.join(self.root, entry), ignore_errors=True
+                )
+        return head

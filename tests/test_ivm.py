@@ -190,3 +190,79 @@ def test_ivm_composes_with_streaming_commits(spark, tmp_path):
     assert _rollup_rows(view) == _rollup_rows(
         ivm.conv_rollup(table.visible(spark))
     )
+
+
+def test_materialized_rollup_refresh_crash_and_erasure(spark, tmp_path):
+    """The productized view: bootstrap, incremental catch-up across new
+    commits, crash-safe STATE (stale state rediffs idempotently), and
+    rebootstrap when the base version falls below an erasure floor."""
+    import json
+    import os
+
+    from nifi_tekst_bundle_spark.table.lake import LakeTable
+
+    DDL = (
+        "lsn long, batch_id string, op string, conv_id string, "
+        "turn_idx int, role string, text string, tool string, "
+        "src_conv_id string, src_turn_idx int, schema_version int, "
+        "ts timestamp"
+    )
+    t = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "t"),
+        payload_cols=["role", "text", "tool"], n_buckets=4,
+    )
+    ins = spark.createDataFrame(
+        [(i + 1, "b0", "insert", f"c{i % 3}", i // 3, "user", f"x{i}",
+          None, None, None, 1, None) for i in range(12)],
+        DDL,
+    )
+    t.merge_batch(spark, ins, fence_key="f0", batch_id="b0")
+    view = ivm.MaterializedRollup(os.path.join(str(tmp_path), "view"))
+    v1 = view.refresh(spark, t)  # bootstrap
+    assert _rollup_rows(view.read(spark)) == _rollup_rows(
+        ivm.conv_rollup(t.visible(spark))
+    )
+    # new commit → incremental catch-up
+    upd = spark.createDataFrame(
+        [(100, "b1", "delete", "c0", 0, None, None, None, None, None, 1,
+          None),
+         (101, "b1", "insert", "c9", 0, "user", "fresh", "tool1", None,
+          None, 1, None)],
+        DDL,
+    )
+    t.merge_batch(spark, upd, fence_key="f1", batch_id="b1")
+    v2 = view.refresh(spark, t)
+    assert v2 == v1 + 1
+    assert _rollup_rows(view.read(spark)) == _rollup_rows(
+        ivm.conv_rollup(t.visible(spark))
+    )
+    # refresh at head is a no-op
+    assert view.refresh(spark, t) == v2
+    # crash simulation: a refresh died between its parquet write and the
+    # STATE swap — old STATE stays authoritative, the new dir is an
+    # orphan. The next refresh must converge and sweep the orphan.
+    orphan = os.path.join(view.root, "rollup-999-deadbeef")
+    os.makedirs(orphan, exist_ok=True)
+    st_before = json.loads(open(view._state_path()).read())
+    t.merge_batch(
+        spark,
+        spark.createDataFrame(
+            [(200, "b2", "insert", "c0", 5, "user", "again", None, None,
+              None, 1, None)],
+            DDL,
+        ),
+        fence_key="f2",
+        batch_id="b2",
+    )
+    view.refresh(spark, t)
+    assert not os.path.exists(orphan)  # orphan swept on successful swap
+    assert json.loads(open(view._state_path()).read())["version"] > st_before["version"]
+    assert _rollup_rows(view.read(spark)) == _rollup_rows(
+        ivm.conv_rollup(t.visible(spark))
+    )
+    # erasure: base below the floor → rebootstrap, erased conv gone
+    t.erase_keys(spark, ["c1"])
+    view.refresh(spark, t)
+    rows = _rollup_rows(view.read(spark))
+    assert "c1" not in rows
+    assert rows == _rollup_rows(ivm.conv_rollup(t.visible(spark)))
