@@ -266,3 +266,56 @@ def test_materialized_rollup_refresh_crash_and_erasure(spark, tmp_path):
     rows = _rollup_rows(view.read(spark))
     assert "c1" not in rows
     assert rows == _rollup_rows(ivm.conv_rollup(t.visible(spark)))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _mk_state(draw, keys):
+    """Random visible state: a subset of keys with random payloads."""
+    rows = []
+    for k in keys:
+        if draw(st.booleans()):
+            text = draw(st.one_of(st.none(), st.text(max_size=6)))
+            tool = draw(st.one_of(st.none(), st.just("t")))
+            rows.append((k[0], k[1], "user", text, tool))
+    return rows
+
+
+def _diff(pre, post):
+    """CDF-shaped net diff between two states (what table_changes emits)."""
+    pre_m = {(r[0], r[1]): r for r in pre}
+    post_m = {(r[0], r[1]): r for r in post}
+    out = []
+    for k in pre_m.keys() | post_m.keys():
+        a, b = pre_m.get(k), post_m.get(k)
+        if a is None:
+            out.append((k[0], k[1], "insert", *b[2:]))
+        elif b is None:
+            out.append((k[0], k[1], "delete", *a[2:]))
+        elif a != b:
+            out.append((k[0], k[1], "update_preimage", *a[2:]))
+            out.append((k[0], k[1], "update_postimage", *b[2:]))
+    return out
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(data=st.data())
+def test_maintain_equals_recompute_for_arbitrary_diffs(spark, data):
+    """The IVM algebra property behind every example test: for ANY pair of
+    states (pre, post) over a key universe, maintaining rollup(pre) with
+    the CDF-shaped diff reproduces rollup(post) exactly — including fully
+    emptied views and diffs that are pure no-ops."""
+    keys = [(f"c{i}", j) for i in range(4) for j in range(2)]
+    pre = _mk_state(data.draw, keys)
+    post = _mk_state(data.draw, keys)
+    changes = _diff(pre, post)
+    pre_df = spark.createDataFrame(pre or [], VIS_DDL)
+    post_df = spark.createDataFrame(post or [], VIS_DDL)
+    ch_df = spark.createDataFrame(changes or [], CH_DDL)
+    got = _rollup_rows(ivm.maintain_rollup(ivm.conv_rollup(pre_df), ch_df))
+    want = _rollup_rows(ivm.conv_rollup(post_df))
+    assert got == want
