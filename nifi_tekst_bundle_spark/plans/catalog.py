@@ -1334,6 +1334,41 @@ def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOCS_DEDUP_BEST_REP_SQL = f"""
+WITH clusters AS ({DOCS_DEDUP_CLUSTERS_SQL}),
+q AS ({DOCS_QUALITY_SQL})
+SELECT c.doc_id, c.cluster_id, q.quality,
+  row_number() OVER (PARTITION BY c.cluster_id
+                     ORDER BY q.quality DESC, c.doc_id ASC) = 1 AS keep
+FROM clusters c JOIN q ON c.doc_id = q.doc_id
+"""
+
+
+def q_docs_dedup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-cluster representative selection: instead
+    of the min-id canonical (`docs_dedup_clusters.is_rep` — the arbitrary
+    choice), keep the HIGHEST-quality member of each near-dup cluster
+    (ties to lowest id) — the refinement a production corpus actually
+    wants, since duplicates often differ in truncation/boilerplate and
+    the best copy should survive. One cluster-keyed window over the
+    cluster-member table (duplicate-involved docs only — never the whole
+    corpus), quality joined on the doc key."""
+    clusters = q_docs_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    quality = q_docs_quality(spark, sf_dir).select("doc_id", "quality")
+    j = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def _simhash_sql() -> str:
     sums = ",\n    ".join(
         f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -5248,6 +5283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_forget_keys": q_cdc_forget_keys,
     "cdc_source_order_audit": q_cdc_source_order_audit,
     "emb_semantic_dedup": q_emb_semantic_dedup,
+    "docs_dedup_best_rep": q_docs_dedup_best_rep,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -5368,4 +5404,5 @@ ORACLES: dict[str, str] = {
     "cdc_forget_keys": CDC_FORGET_KEYS_SQL,
     "cdc_source_order_audit": CDC_SOURCE_ORDER_SQL,
     "emb_semantic_dedup": EMB_SEMANTIC_DEDUP_SQL,
+    "docs_dedup_best_rep": DOCS_DEDUP_BEST_REP_SQL,
 }

@@ -390,3 +390,31 @@ def test_multimodal_real_decode_path(spark):
     )
     with pytest.raises(Exception):
         multimodal.extract_features(bad, decode_stub=False).collect()
+
+
+def test_best_rep_prefers_quality_over_min_id(spark):
+    """A cluster whose higher-id member has better quality must keep THAT
+    member, unlike the min-id is_rep convention."""
+    from pyspark.sql import Window
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (5, 1), (9, 1), (2, 2), (3, 2)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.3), (5, 0.9), (9, 0.9), (2, 0.5), (3, 0.5)],
+        "doc_id long, quality double",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    out = (
+        clusters.join(quality, "doc_id")
+        .select("doc_id", "cluster_id",
+                (F.row_number().over(w) == 1).alias("keep"))
+        .collect()
+    )
+    kept = {r["cluster_id"]: r["doc_id"] for r in out if r["keep"]}
+    assert kept[1] == 5   # best quality, tie on 0.9 → lower id among 5,9
+    assert kept[2] == 2   # quality tie → min id
+    assert sum(1 for r in out if r["keep"]) == 2
