@@ -1745,6 +1745,56 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(emb, threshold=0.35)
 
 
+EMB_CLUSTER_SAMPLE_SQL = _kmeans_cells_sql() + """,
+ranked AS (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY cid
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM cells
+)
+SELECT vec_id, CAST(cid AS INT) AS cluster_id, CAST(rn AS INT) AS draw_rank
+FROM ranked WHERE rn <= 20
+"""
+
+
+def q_emb_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: up to s replay-stable draws
+    per deterministic Lloyd cell (md5-ordered, the repo's stratified-
+    sample convention) — the "sample evenly across semantic clusters"
+    subset-selection step (D4 / eval-set construction) that plain random
+    sampling gets wrong on skewed corpora (it reproduces the skew).
+    Assignment is the zero-shuffle literal argmax; the draw is one
+    cell-keyed window whose per-partition work is cell-sized. Output is
+    ≤ s × n_centroids rows."""
+    from ..operators import similarity
+
+    emb = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    cents = similarity.kmeans_centroids(emb, "vec_id", "embedding", 8, 2)
+    asg = emb.select(
+        "vec_id",
+        similarity._argmax_centroid(F.col("embedding"), cents).alias("cid"),
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id")
+    )
+    return (
+        asg.withColumn("draw_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("draw_rank") <= 20)
+        .select(
+            "vec_id", F.col("cid").cast("int").alias("cluster_id"), "draw_rank"
+        )
+    )
+
+
 def q_emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus clustering table (similarity.kmeans_assign): per-vector
     deterministic-Lloyd cell + exact cluster size — the starting table
@@ -5284,6 +5334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_source_order_audit": q_cdc_source_order_audit,
     "emb_semantic_dedup": q_emb_semantic_dedup,
     "docs_dedup_best_rep": q_docs_dedup_best_rep,
+    "emb_cluster_sample": q_emb_cluster_sample,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -5405,4 +5456,5 @@ ORACLES: dict[str, str] = {
     "cdc_source_order_audit": CDC_SOURCE_ORDER_SQL,
     "emb_semantic_dedup": EMB_SEMANTIC_DEDUP_SQL,
     "docs_dedup_best_rep": DOCS_DEDUP_BEST_REP_SQL,
+    "emb_cluster_sample": EMB_CLUSTER_SAMPLE_SQL,
 }

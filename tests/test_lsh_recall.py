@@ -197,3 +197,24 @@ def test_semantic_dedup_drops_seeded_near_dup_keeps_min_id(spark):
     assert v[10] == "drop" and v[3] == "keep"   # min-id representative
     assert v[11] == "drop" and v[5] == "keep"   # cosine is scale-invariant
     assert sum(1 for x in v.values() if x == "drop") == 2
+
+
+def test_cluster_sample_is_balanced_and_deterministic(spark):
+    """Each cell yields at most the cap; two runs draw identical ids
+    (replay-stable md5 order, no RNG)."""
+    from nifi_tekst_bundle_spark.plans import catalog
+
+    out1 = catalog.q_emb_cluster_sample(spark, "/root/testdata/sf0.001")
+    rows = out1.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster_id"], []).append(r["draw_rank"])
+    assert per and all(len(v) <= 20 for v in per.values())
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    out2 = {
+        (r["cluster_id"], r["draw_rank"]): r["vec_id"]
+        for r in catalog.q_emb_cluster_sample(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert {(r["cluster_id"], r["draw_rank"]): r["vec_id"] for r in rows} == out2
