@@ -42,7 +42,7 @@ import re
 import shutil
 import time as _time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,6 +85,10 @@ class Manifest:
     # (the files are gone BY DESIGN — right-to-be-forgotten, not rot).
     # 0 = never erased. Missing in legacy manifests → dataclass default.
     erase_floor: int = 0
+    # Named snapshot refs (Iceberg tag analogue): name -> version. Tagged
+    # versions survive expire_snapshots (reproducibility pins: "the
+    # corpus we trained run X on"). Missing in legacy manifests → {}.
+    tags: dict = field(default_factory=dict)
 
     @staticmethod
     def empty(n_buckets: int, payload_cols: list[str]) -> "Manifest":
@@ -356,9 +360,30 @@ class LakeTable:
         # register algebra already treats as "never assigned".
         return self._read_registers_of(spark, self.manifest(), buckets)
 
-    def visible(self, spark: SparkSession) -> DataFrame:
+    def visible(
+        self, spark: SparkSession, cols: list[str] | None = None
+    ) -> DataFrame:
+        """Visible table state. ``cols`` prunes the read to a payload
+        subset: the parquet scan's ReadSchema then carries only the
+        requested columns' registers (+ the two row-visibility lsns) — on
+        a wide promoted schema a text-only consumer (dedup, tokenization)
+        reads a fraction of the bytes. Row visibility depends only on
+        ``_lsn_up``/``_lsn_del``, so pruning never changes WHICH rows are
+        visible, only which columns come back."""
         m = self.manifest()
-        return lww.visible(self.read_registers(spark), m.payload_cols)
+        payload = list(m.payload_cols)
+        if cols is not None:
+            unknown = set(cols) - set(payload)
+            if unknown:
+                raise ValueError(
+                    f"unknown payload cols {sorted(unknown)}; "
+                    f"table has {payload}"
+                )
+            payload = [c for c in payload if c in set(cols)]
+        return lww.visible(
+            self._read_registers_of(spark, m, payload_override=payload),
+            payload,
+        )
 
     def lookup(self, spark: SparkSession, conv_id: str) -> DataFrame:
         """Point read: the visible turns of ONE conversation, scanning only
@@ -420,18 +445,27 @@ class LakeTable:
         return lww.visible(self._read_registers_of(spark, m), m.payload_cols)
 
     def _read_registers_of(
-        self, spark: SparkSession, m: Manifest, buckets: set[int] | None = None
+        self,
+        spark: SparkSession,
+        m: Manifest,
+        buckets: set[int] | None = None,
+        payload_override: list[str] | None = None,
     ) -> DataFrame:
         paths = [
             f["path"]
             for f in m.files
             if buckets is None or f["bucket"] in buckets
         ]
-        ddl = self._register_ddl(m.payload_cols)
+        payload = (
+            list(m.payload_cols)
+            if payload_override is None
+            else list(payload_override)
+        )
+        ddl = self._register_ddl(payload)
         if not paths:
             return spark.createDataFrame([], schema=ddl)
         df = spark.read.schema(ddl).parquet(*paths)
-        return lww._align(df, m.payload_cols)
+        return lww._align(df, payload)
 
     def table_changes(
         self, spark: SparkSession, v_from: int, v_to: int
@@ -805,6 +839,7 @@ class LakeTable:
             dead_letter_files=m.dead_letter_files,
             lsn_watermark=lsn_wm,
             erase_floor=int(getattr(m, "erase_floor", 0) or 0),
+            tags=dict(getattr(m, "tags", {}) or {}),
         )
         try:
             self._write_manifest(new_manifest)
@@ -1254,6 +1289,7 @@ class LakeTable:
             dead_letter_files=m.dead_letter_files,
             lsn_watermark=max(int(getattr(m, "lsn_watermark", 0) or 0), lsn_watermark),
             erase_floor=int(getattr(m, "erase_floor", 0) or 0),
+            tags=dict(getattr(m, "tags", {}) or {}),
         )
         self._write_manifest(new_manifest)
 
@@ -1269,14 +1305,18 @@ class LakeTable:
         next ``vacuum()`` (which already keeps only HEAD-referenced
         files). Single-writer operation like vacuum/rebucket. HEAD and
         the fence map are untouched — exactly-once re-delivery does not
-        depend on expired history. Returns the number of manifests
-        removed."""
+        depend on expired history. Tagged versions (``tag()``) are pinned
+        and never expired. Returns the number of manifests removed."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-        head = self._head_version()
+        m = self.manifest()
+        head = m.version
+        pinned = set((getattr(m, "tags", {}) or {}).values())
         cutoff = head - keep_last + 1
         removed = 0
         for v in range(1, cutoff):
+            if v in pinned:
+                continue
             path = os.path.join(self.meta_dir, f"v{v:06d}.json")
             try:
                 os.remove(path)
@@ -1284,6 +1324,49 @@ class LakeTable:
             except FileNotFoundError:
                 pass
         return removed
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a named ref to a snapshot version (Iceberg tag analogue) —
+        the reproducibility anchor a training pipeline needs ("the exact
+        corpus run X trained on"). Tags survive ``expire_snapshots``;
+        ``erase_keys`` drops tags below its floor (that history is gone
+        by right-to-be-forgotten, and a pin must not promise otherwise).
+        Recorded through the same CAS manifest commit as data changes.
+        Returns the pinned version."""
+        m = self.manifest()
+        v = m.version if version is None else int(version)
+        if not (1 <= v <= m.version):
+            raise ValueError(
+                f"cannot tag version {v}: committed history is 1..{m.version}"
+            )
+        floor = int(getattr(m, "erase_floor", 0) or 0)
+        if v < floor:
+            raise ValueError(
+                f"cannot tag version {v}: below the erasure horizon v{floor}"
+            )
+        tags = dict(getattr(m, "tags", {}) or {})
+        tags[name] = v
+        new_manifest = Manifest(
+            version=m.version + 1,
+            payload_cols=m.payload_cols,
+            n_buckets=m.n_buckets,
+            files=m.files,
+            committed=m.committed,
+            lineage=m.lineage,
+            dead_letter_files=m.dead_letter_files,
+            lsn_watermark=int(getattr(m, "lsn_watermark", 0) or 0),
+            erase_floor=floor,
+            tags=tags,
+        )
+        self._write_manifest(new_manifest)
+        return v
+
+    def visible_at_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """Visible state at a named tag."""
+        tags = dict(getattr(self.manifest(), "tags", {}) or {})
+        if name not in tags:
+            raise ValueError(f"unknown tag {name!r}; have {sorted(tags)}")
+        return self.visible_at(spark, tags[name])
 
     def erase_keys(self, spark: SparkSession, conv_ids: list[str]) -> dict:
         """Physically erase conversations from the table AND its history —
@@ -1349,6 +1432,11 @@ class LakeTable:
             dead_letter_files=m.dead_letter_files,
             lsn_watermark=int(getattr(m, "lsn_watermark", 0) or 0),
             erase_floor=m.version + 1,
+            tags={
+                k: v
+                for k, v in (getattr(m, "tags", {}) or {}).items()
+                if v > m.version  # pre-erasure pins are purged history
+            },
         )
         self._write_manifest(new_manifest)
 

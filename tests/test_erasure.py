@@ -190,3 +190,60 @@ def test_expire_snapshots_bounds_metadata_and_keeps_head(spark, tmp_path):
     assert t.visible(spark).filter(F.col("text") == "third").count() == 1
     with pytest.raises(ValueError, match="keep_last"):
         t.expire_snapshots(keep_last=0)
+
+
+def test_tags_pin_snapshots_through_expiry_and_fall_to_erasure(spark, tmp_path):
+    """A tagged version survives expire_snapshots and reads back the
+    exact pinned state; erasure drops pre-floor tags (that history is
+    physically gone and a pin must not promise otherwise)."""
+    t = _mk_table(spark, tmp_path)  # head: create + 2 merges
+    v_pin = t._head_version()
+    pinned_rows = t.visible(spark).count()
+    assert t.tag("train-run-1") == v_pin  # tag commit bumps head
+    extra = spark.createDataFrame(
+        [(700, "b03", "insert", "conv-0001", 30, "user", "later",
+          None, None, None, 1, None)],
+        DDL,
+    )
+    t.merge_batch(spark, extra, fence_key="f3", batch_id="b03")
+    t.merge_batch(
+        spark,
+        spark.createDataFrame(
+            [(701, "b04", "insert", "conv-0002", 30, "user", "even later",
+              None, None, None, 1, None)],
+            DDL,
+        ),
+        fence_key="f4", batch_id="b04",
+    )
+    t.expire_snapshots(keep_last=1)
+    # everything but HEAD expired — except the pinned version
+    assert t.visible_at_tag(spark, "train-run-1").count() == pinned_rows
+    with pytest.raises(ValueError, match="unknown tag"):
+        t.visible_at_tag(spark, "nope")
+    # erasure moves the floor above the pin → the tag is dropped
+    t.erase_keys(spark, ["conv-0000"])
+    assert "train-run-1" not in (t.manifest().tags or {})
+    with pytest.raises(ValueError, match="erasure horizon"):
+        t.tag("too-old", v_pin)
+
+
+def test_visible_column_pruning_reaches_the_scan(spark, tmp_path):
+    """visible(cols=['text']) must push the pruning into the parquet
+    ReadSchema (no role/tool register bytes read) and return the same
+    rows/values as the full read's text column."""
+    t = _mk_table(spark, tmp_path)
+    pruned = t.visible(spark, cols=["text"])
+    assert set(pruned.columns) == {"conv_id", "turn_idx", "text"}
+    full = t.visible(spark).select("conv_id", "turn_idx", "text")
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    read_schemas = [
+        seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    assert read_schemas
+    assert all("text" in rs for rs in read_schemas)
+    assert all("role" not in rs and "tool" not in rs for rs in read_schemas)
+    with pytest.raises(ValueError, match="unknown payload"):
+        t.visible(spark, cols=["nope"])
