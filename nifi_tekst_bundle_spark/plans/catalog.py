@@ -4829,6 +4829,17 @@ HAVING length(trim(string_agg(coalesce(text, ''), ' ' ORDER BY turn_idx))) > 0""
 
 CONV_NEAR_DUPS_SQL = _minhash_pairs_sql(source=_CONV_FOLDED_SRC)
 
+_LEAK_SPLIT = "CASE WHEN ('0x' || substr(md5({c}), 1, 15))::INT64 % 100 < 30 THEN 'eval' ELSE 'train' END"
+
+CONV_SPLIT_LEAKAGE_SQL = f"""
+WITH pairs AS ({CONV_NEAR_DUPS_SQL})
+SELECT id_a, id_b, jaccard,
+  {_LEAK_SPLIT.format(c='id_a')} AS split_a,
+  {_LEAK_SPLIT.format(c='id_b')} AS split_b
+FROM pairs
+WHERE {_LEAK_SPLIT.format(c='id_a')} <> {_LEAK_SPLIT.format(c='id_b')}
+"""
+
 
 def q_conv_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level near-duplicate pairs: ordered turn-text fold per
@@ -4860,6 +4871,36 @@ def q_conv_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dups(
         folded, "doc_id", "text", n_hashes=4, n_bands=2,
         jaccard_threshold=0.5, k=3, hash_mode="oracle", materialize=True,
+    )
+
+
+def q_conv_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split leakage scan: near-duplicate conversation pairs
+    that STRADDLE the hold-out boundary — each one is an eval example the
+    model effectively saw in training (the contamination mode a
+    conversation-level split is supposed to prevent, defeated by
+    near-dup retries landing on opposite sides). Composes the
+    conversation near-dup pipeline with the replay-stable hash split
+    (30% eval here so the fixture exercises both straddle directions);
+    output is pair-scale, the near-dup machinery bounds all cost."""
+    from ..operators.dedup import hash64
+
+    pairs = q_conv_near_dups(spark, sf_dir)
+
+    def split(c: str) -> F.Column:
+        return F.when(
+            hash64(F.col(c).cast("string")) % 100 < 30, F.lit("eval")
+        ).otherwise(F.lit("train"))
+
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            split("id_a").alias("split_a"),
+            split("id_b").alias("split_b"),
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
     )
 
 
@@ -5335,6 +5376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_semantic_dedup": q_emb_semantic_dedup,
     "docs_dedup_best_rep": q_docs_dedup_best_rep,
     "emb_cluster_sample": q_emb_cluster_sample,
+    "conv_split_leakage": q_conv_split_leakage,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -5457,4 +5499,5 @@ ORACLES: dict[str, str] = {
     "emb_semantic_dedup": EMB_SEMANTIC_DEDUP_SQL,
     "docs_dedup_best_rep": DOCS_DEDUP_BEST_REP_SQL,
     "emb_cluster_sample": EMB_CLUSTER_SAMPLE_SQL,
+    "conv_split_leakage": CONV_SPLIT_LEAKAGE_SQL,
 }

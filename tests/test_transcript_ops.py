@@ -205,3 +205,39 @@ def test_transcript_ops_single_shuffle_no_python(spark):
     # hash partitioning, so still one exchange
     assert plan.count("Exchange") == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_split_leakage_detects_straddling_pair_only(spark):
+    """Only near-dup pairs with differing split assignments surface."""
+    from pyspark.sql import functions as F
+
+    from nifi_tekst_bundle_spark.operators.dedup import hash64
+
+    pairs = spark.createDataFrame(
+        [("ca", "cb", 0.9), ("cc", "cd", 0.8)],
+        "id_a string, id_b string, jaccard double",
+    )
+
+    def split(c):
+        return F.when(
+            hash64(F.col(c).cast("string")) % 100 < 30, F.lit("eval")
+        ).otherwise(F.lit("train"))
+
+    out = (
+        pairs.select(
+            "id_a", "id_b", "jaccard",
+            split("id_a").alias("split_a"), split("id_b").alias("split_b"),
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .collect()
+    )
+    # recompute expectations directly from the hash
+    rows = spark.createDataFrame(
+        [("ca",), ("cb",), ("cc",), ("cd",)], "c string"
+    ).select("c", (hash64(F.col("c")) % 100 < 30).alias("e")).collect()
+    ev = {r["c"]: r["e"] for r in rows}
+    expect = {
+        ("ca", "cb")} if ev["ca"] != ev["cb"] else set()
+    if ev["cc"] != ev["cd"]:
+        expect.add(("cc", "cd"))
+    assert {(r["id_a"], r["id_b"]) for r in out} == expect
