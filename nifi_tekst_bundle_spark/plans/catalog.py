@@ -4546,6 +4546,60 @@ def q_cdc_source_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_TEXT_CHURN_SQL = f"""
+WITH ev AS ({_EV_SQL_VALID}),
+ev2 AS (
+  SELECT coalesce(conv_id, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0'))
+           AS conv_id,
+         turn_idx, lsn, text
+  FROM ev WHERE op <> 'delete' AND text IS NOT NULL
+),
+l AS (
+  SELECT conv_id, text,
+         lag(text) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS prev
+  FROM ev2
+)
+SELECT conv_id,
+  CAST(count(prev) AS BIGINT) AS n_rewrites,
+  CAST(coalesce(sum(levenshtein(text, prev)), 0) AS BIGINT) AS total_edit,
+  CAST(coalesce(max(levenshtein(text, prev)), 0) AS BIGINT) AS max_edit
+FROM l GROUP BY conv_id
+HAVING count(prev) > 0
+"""
+
+
+def q_cdc_text_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-churn metric over the change stream: per conversation, how
+    many times a turn's text was REWRITTEN (a later non-delete version of
+    the same key) and how large the rewrites were (Levenshtein edit
+    distance to the previous version) — the "are agents thrashing /
+    editing history" signal a transcript-CDC operator watches, and the
+    cost driver for copy-on-write amplification (churned conversations
+    rewrite their bucket every epoch). One shuffle on the key for the
+    lag window; the per-key groupBy reuses sub-partitioning of the same
+    exchange; levenshtein is JVM-side on both engines and integer-exact,
+    so the oracle matches bit-for-bit."""
+    events = derive_change_events(spark, sf_dir)
+    good, _dead = resolve.validate(events, [])
+    base = good.filter(
+        (F.col("op") != "delete") & F.col("text").isNotNull()
+    ).select("conv_id", "turn_idx", "lsn", "text")
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("lsn")
+    lagged = base.select(
+        "conv_id", "text", F.lag("text").over(w).alias("_prev")
+    )
+    lev = F.levenshtein(F.col("text"), F.col("_prev"))
+    return (
+        lagged.groupBy("conv_id")
+        .agg(
+            F.count("_prev").alias("n_rewrites"),
+            F.coalesce(F.sum(lev), F.lit(0)).alias("total_edit"),
+            F.coalesce(F.max(lev), F.lit(0)).alias("max_edit"),
+        )
+        .filter(F.col("n_rewrites") > 0)
+    )
+
+
 def _scd2_col_sql(c: str) -> str:
     return (
         f"CASE WHEN coalesce(last_value(CASE WHEN op <> 'delete' AND {c} IS NOT NULL"
@@ -5377,6 +5431,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dedup_best_rep": q_docs_dedup_best_rep,
     "emb_cluster_sample": q_emb_cluster_sample,
     "conv_split_leakage": q_conv_split_leakage,
+    "cdc_text_churn": q_cdc_text_churn,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -5500,4 +5555,5 @@ ORACLES: dict[str, str] = {
     "docs_dedup_best_rep": DOCS_DEDUP_BEST_REP_SQL,
     "emb_cluster_sample": EMB_CLUSTER_SAMPLE_SQL,
     "conv_split_leakage": CONV_SPLIT_LEAKAGE_SQL,
+    "cdc_text_churn": CDC_TEXT_CHURN_SQL,
 }

