@@ -42,12 +42,16 @@ K1 = 1.5
 B = 0.75
 
 
+IDF_MODES = ("oracle", "production")
+
+
 def keyword_topk(
     df: DataFrame,
     id_col: str,
     text_col: str,
     terms: list[str],
     k: int = 25,
+    idf_mode: str = "oracle",
 ) -> DataFrame:
     """Top-k documents by summed BM25-shaped term relevance.
 
@@ -56,9 +60,23 @@ def keyword_topk(
     is deterministic. Terms are matched as whole lowercase whitespace
     tokens (the corpus-side normalization is lower+trim+split — the same
     token space as the dedup shinglers).
+
+    ``idf_mode`` mirrors the dedup hash-backend convention: ``oracle``
+    uses the rational RSJ idf (cross-engine bit parity, module
+    docstring); ``production`` uses the Lucene/BM25 form
+    ``ln(1 + rational)`` — NOT the bare ``ln(rational)``, which goes
+    negative for terms in more than half the corpus and inverts their
+    ranking (the classic negative-idf defect). ``ln(1+x)`` is positive
+    and monotone, so single-term rankings are identical in both modes
+    (pinned in tests); multi-term sums can reorder near-ties. Plan shape
+    is identical — one extra narrow op in the projection.
     """
     if not terms:
         raise ValueError("keyword_topk needs at least one query term")
+    if idf_mode not in IDF_MODES:
+        raise ValueError(
+            f"idf_mode must be one of {IDF_MODES}, got {idf_mode!r}"
+        )
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
     def _tf(term: str):
@@ -92,6 +110,8 @@ def keyword_topk(
         idf = (F.col("_n") - F.col(f"_df_{i}") + F.lit(0.5)) / (
             F.col(f"_df_{i}") + F.lit(0.5)
         )
+        if idf_mode == "production":
+            idf = F.log(F.lit(1.0) + idf)
         term = ((idf * tf) * F.lit(K1 + 1.0)) / (tf + norm)
         score = term if score is None else score + term
         any_tf = tf if any_tf is None else any_tf + tf

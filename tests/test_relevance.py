@@ -82,3 +82,26 @@ def test_keyword_topk_plan_no_corpus_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_idf_modes_agree_on_single_term_ranking(spark):
+    """ln is monotone per term, so single-term rankings (and the matched
+    doc set) are identical across modes; only scores differ."""
+    docs = spark.createDataFrame(
+        [(i, ("target " * (i % 4 + 1)) + "filler pad") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = relevance.keyword_topk(
+        docs, "doc_id", "text", ["target"], k=10, idf_mode="oracle"
+    ).collect()
+    b = relevance.keyword_topk(
+        docs, "doc_id", "text", ["target"], k=10, idf_mode="production"
+    ).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert all(x["score"] != y["score"] for x, y in zip(a, b))
+
+
+def test_bad_idf_mode_raises(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="idf_mode"):
+        relevance.keyword_topk(docs, "doc_id", "text", ["x"], idf_mode="bm25")
