@@ -100,6 +100,7 @@ HEADLINE = [
     "docs_keyword_search",
     "cdc_scd2_pit_join",
     "cdc_source_order_audit",
+    "docs_bpe_pairs",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

@@ -147,3 +147,54 @@ def tfidf_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the corpus — the inner loop
+    of BPE tokenizer training (each training round merges the single most
+    frequent pair; this operator is that round's candidate count, the
+    distributed primitive a tokenizer trainer iterates).
+
+    Returns the top ``top_k`` pairs as (left_sym, right_sym, pair_count),
+    ordered (pair_count DESC, left_sym, right_sym) — a total order, so
+    the LIMIT cut is deterministic.
+
+    Scale shape — the reason real BPE trainers scale: pair expansion runs
+    over the DISTINCT-WORD table weighted by word frequency, not over the
+    raw corpus. The first aggregation collapses 100 TB of text to a
+    vocabulary-sized table (map-side combinable, one shuffle on the word),
+    and every subsequent stage — character-pair transform, pair count —
+    is proportional to vocabulary size, not corpus size. Within-word
+    repeated pairs each count (one per position), matching the standard
+    BPE counting convention.
+
+    Reference parity: the reference has no tokenizer stage; this extends
+    the training-data axis alongside the vocab/OOV operators (which share
+    this module's tokenization convention via :func:`_words`).
+    """
+    words = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("wf"))
+    )
+    pair_structs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.struct(
+            F.col("word").substr(i.cast("int"), F.lit(1)).alias("l"),
+            F.col("word").substr((i + 1).cast("int"), F.lit(1)).alias("r"),
+        ),
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select("wf", F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
+        .agg(F.sum("wf").cast("bigint").alias("pair_count"))
+    )
+    return pairs.orderBy(
+        F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+    ).limit(top_k)

@@ -3950,6 +3950,38 @@ def q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.tfidf_topk(_read(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+# BPE tokenizer-training round: adjacent-symbol pair counts over the
+# distinct-word table weighted by word frequency — pair expansion cost is
+# vocabulary-sized, never corpus-sized (the scale property real BPE
+# trainers rely on). Top-50 cut is a total order (count DESC, pair ASC).
+DOCS_BPE_PAIRS_SQL = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents WHERE text IS NOT NULL
+),
+v AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wf
+  FROM w WHERE word <> '' GROUP BY word
+),
+p AS (
+  SELECT substr(word, CAST(i AS INT), 1) AS left_sym,
+         substr(word, CAST(i AS INT) + 1, 1) AS right_sym, wf
+  FROM (SELECT word, wf, unnest(range(1, length(word))) AS i
+        FROM v WHERE length(word) >= 2)
+)
+SELECT left_sym, right_sym, CAST(sum(wf) AS BIGINT) AS pair_count
+FROM p GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
+"""
+
+
+def q_docs_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training round's merge-candidate counts (lm.bpe_pair_counts):
+    corpus → word-frequency table (one shuffle) → per-distinct-word char
+    pairs → weighted pair counts → TakeOrderedAndProject top-50."""
+    return lm.bpe_pair_counts(_read(spark, sf_dir, "documents"), "text", top_k=50)
+
+
 def _bloom_bits_sql(text_expr: str, m: int) -> str:
     return ", ".join(
         f"('0x' || substr(md5({text_expr}), {1 + 8 * j}, 8))::INT64 % {m}"
@@ -5408,6 +5440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_mixture": q_docs_token_mixture,
     "docs_lm_score": q_docs_lm_score,
     "docs_tfidf": q_docs_tfidf,
+    "docs_bpe_pairs": q_docs_bpe_pairs,
     "docs_bloom_dedup": q_docs_bloom_dedup,
     "emb_hard_negatives": q_emb_hard_negatives,
     "docs_simhash_pairs": q_docs_simhash_pairs,
@@ -5532,6 +5565,7 @@ ORACLES: dict[str, str] = {
     "docs_token_mixture": DOCS_TOKEN_MIXTURE_SQL,
     "docs_lm_score": DOCS_LM_SCORE_SQL,
     "docs_tfidf": DOCS_TFIDF_SQL,
+    "docs_bpe_pairs": DOCS_BPE_PAIRS_SQL,
     "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_PAIRS_SQL,

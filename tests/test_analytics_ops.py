@@ -229,3 +229,37 @@ def test_conv_near_dups_detects_seeded_duplicate_conversation(spark):
     ).toPandas()
     assert ("conv-a", "conv-b") in set(zip(pairs["id_a"], pairs["id_b"]))
     assert not any("conv-c" in p for pair in zip(pairs["id_a"], pairs["id_b"]) for p in pair)
+
+
+# ------------------------------------------------------ BPE pair counting
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    """Weighted adjacent-char pair counts over the distinct-word table:
+    'ab ab abc' -> word freqs {ab:2, abc:1} -> (a,b): 2+1=3, (b,c): 1."""
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, "Abc"), (3, None), (4, "x")],
+        ["doc_id", "text"],
+    )
+    from nifi_tekst_bundle_spark.operators import lm
+
+    got = {
+        (r["left_sym"], r["right_sym"]): r["pair_count"]
+        for r in lm.bpe_pair_counts(df, "text").collect()
+    }
+    # 'x' has no pairs; None text dropped; 'Abc' lowercases
+    assert got == {("a", "b"): 3, ("b", "c"): 1}
+
+
+def test_bpe_pair_counts_expands_vocab_not_corpus(spark):
+    """The pair-generation stage must consume the AGGREGATED word table
+    (vocabulary-sized), not the raw token stream: exactly one aggregate
+    sits between the corpus scan and the pair explode."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from nifi_tekst_bundle_spark.operators import lm
+
+    plan = lm.bpe_pair_counts(docs, "text")._jdf.queryExecution().executedPlan().toString()
+    # explode(words) feeds an agg; explode(pairs) reads the agg output —
+    # two generates, and the pair generate must sit ABOVE the first agg
+    assert plan.count("Generate") >= 2
+    assert "HashAggregate" in plan
