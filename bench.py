@@ -101,6 +101,7 @@ HEADLINE = [
     "cdc_scd2_pit_join",
     "cdc_source_order_audit",
     "docs_bpe_pairs",
+    "conv_sig_maintain",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

@@ -1078,3 +1078,57 @@ def bloom_novelty(
         .otherwise(F.lit("novel"))
     )
     return hits.select(F.col(id_col), "n_hits", verdict.alias("verdict"))
+
+
+# -------------------------------------------- incremental index maintenance
+
+
+def maintain_minhash_index(
+    old_index: DataFrame,
+    changed_ids: DataFrame,
+    new_state: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    k: int = 3,
+    hash_mode: str = "production",
+) -> DataFrame:
+    """Incrementally maintain a MinHash signature index under CDC: given
+    the index built over the OLD corpus state, the set of ids the change
+    feed touched, and the NEW corpus state, produce the index of the new
+    state WITHOUT re-hashing the untouched corpus.
+
+    Result = (old_index ⟕-anti changed_ids) ∪ signature(new_state ⋉ changed_ids)
+
+    - inserted ids: absent from old_index, recomputed from new_state;
+    - updated ids: dropped by the anti-join, recomputed from new_state;
+    - deleted ids: dropped by the anti-join, absent from new_state — gone;
+    - untouched ids: pass through the anti-join, their text never read.
+
+    This is the IVM shape (operators/ivm.py) applied to the dedup index:
+    at 100 TB the signature table is maintained per epoch at a cost
+    proportional to the CHANGED documents (both joins are on the id key,
+    the changed set is epoch-sized and broadcast-eligible), while a full
+    rebuild would re-hash the entire corpus every epoch. Pair generation
+    downstream (lsh_bands → band join) consumes the maintained index
+    exactly as it would a freshly built one.
+
+    ``changed_ids`` may carry duplicates or extra columns (e.g. a raw CDF
+    diff with one row per changed TURN of a conversation); only distinct
+    ``id_col`` values are used. Ids whose new text folds to nothing must
+    simply be absent from ``new_state`` (the caller's fold already drops
+    them — see the empty-fold exclusion on the conversation relation).
+
+    Identity with a full rebuild is pinned by
+    tests/test_dedup_similarity.py::test_maintain_minhash_index_equals_rebuild
+    for arbitrary diffs (property test), and the untouched-text-never-read
+    claim by ..::test_maintain_index_does_not_rescan_untouched_corpus.
+    """
+    _check_mode(hash_mode)
+    ids = changed_ids.select(F.col(id_col)).distinct()
+    kept = old_index.join(ids, id_col, "left_anti")
+    recomputed = minhash_signature(
+        new_state.join(ids, id_col, "left_semi"),
+        id_col, text_col, n_hashes, k, hash_mode,
+    )
+    return kept.unionByName(recomputed)

@@ -1132,10 +1132,12 @@ def _shingle_concat_sql(k: int) -> str:
     return " || ' ' || ".join(f"words[i+{j + 1}]" for j in range(k))
 
 
-def _minhash_sql(n_hashes: int = 4, k: int = 3) -> str:
+def _minhash_sql(n_hashes: int = 4, k: int = 3,
+                 source: str = "SELECT doc_id, text FROM documents") -> str:
     # Mirrors dedup.minhash_signature: md5 base hash once per shingle
     # (reduced mod P), then per-index Carter-Wegman mixes (a_i*x + b_i) % P
-    # with the exact constants from dedup.mh_consts.
+    # with the exact constants from dedup.mh_consts. ``source`` is any
+    # (doc_id, text) relation (cf. _minhash_pairs_sql).
     mh = ",\n  ".join(
         "list_min(list_transform(hs, x -> (x * {a} + {b}) % {p})) AS minhash_{i}".format(
             a=dedup.mh_consts(i)[0], b=dedup.mh_consts(i)[1], p=dedup.MH_P, i=i
@@ -1145,7 +1147,7 @@ def _minhash_sql(n_hashes: int = 4, k: int = 3) -> str:
     return rf"""
 WITH base AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
-  FROM documents
+  FROM ({source})
 ),
 sh AS (
   SELECT doc_id,
@@ -4927,13 +4929,10 @@ WHERE {_LEAK_SPLIT.format(c='id_a')} <> {_LEAK_SPLIT.format(c='id_b')}
 """
 
 
-def q_conv_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversation-level near-duplicate pairs: ordered turn-text fold per
-    conversation (the A1 render shape), then the SAME MinHash→LSH-band→
-    Jaccard-verify pipeline as docs_minhash_pairs at conversation
-    granularity — how a transcript pipeline drops re-run/retried agent
-    sessions that differ in a turn or two."""
-    final = q_cdc_lww_final_state(spark, sf_dir)
+def _fold_conversations(final: DataFrame) -> DataFrame:
+    """Fold a visible transcript state to the (doc_id, text) relation the
+    doc-level LSH pipeline expects: turn texts in turn order, one row per
+    conversation, empty folds excluded (see _CONV_FOLDED_SRC)."""
     fold = F.array_join(
         F.transform(
             F.array_sort(
@@ -4948,12 +4947,21 @@ def q_conv_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         " ",
     )
-    folded = (
+    return (
         final.groupBy("conv_id")
         .agg(fold.alias("text"))
         .filter(F.length(F.trim(F.col("text"))) > 0)
         .select(F.col("conv_id").alias("doc_id"), "text")
     )
+
+
+def q_conv_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level near-duplicate pairs: ordered turn-text fold per
+    conversation (the A1 render shape), then the SAME MinHash→LSH-band→
+    Jaccard-verify pipeline as docs_minhash_pairs at conversation
+    granularity — how a transcript pipeline drops re-run/retried agent
+    sessions that differ in a turn or two."""
+    folded = _fold_conversations(q_cdc_lww_final_state(spark, sf_dir))
     return dedup.minhash_near_dups(
         folded, "doc_id", "text", n_hashes=4, n_bands=2,
         jaccard_threshold=0.5, k=3, hash_mode="oracle", materialize=True,
@@ -4987,6 +4995,47 @@ def q_conv_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             split("id_b").alias("split_b"),
         )
         .filter(F.col("split_a") != F.col("split_b"))
+    )
+
+
+# Incrementally maintained conversation signature index: the oracle is the
+# FULL-REBUILD definition (signatures over the final folded state) — the
+# query must produce it via old-index + CDC-delta maintenance, so a green
+# row proves maintenance ≡ rebuild under the driver's value hash.
+CONV_SIG_MAINTAIN_SQL = _minhash_sql(source=_CONV_FOLDED_SRC)
+
+
+def q_conv_sig_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-maintained near-dup signature index (dedup.maintain_minhash_index):
+    build the MinHash index over the PRE-b04 conversation state, then apply
+    batch b04 as a delta — only conversations b04 touches are re-folded and
+    re-hashed; everything else passes through an id anti-join untouched.
+    Output equals the index a full rebuild of the final state would produce
+    (the oracle IS that rebuild). At 100 TB this is the difference between
+    per-epoch signature cost ∝ changed conversations and re-hashing the
+    corpus every epoch."""
+    events = derive_change_events(spark, sf_dir)
+    good, _dead = resolve.validate(events, [])
+    normalized = good.select(
+        "lsn", "batch_id", "op", "conv_id", "turn_idx", *CDC_PAYLOAD
+    )
+    old_events = normalized.filter(F.col("batch_id") != "b04")
+    old_state = lww.visible(
+        lww.batch_registers(old_events, CDC_PAYLOAD), CDC_PAYLOAD
+    )
+    new_state = lww.visible(
+        lww.batch_registers(normalized, CDC_PAYLOAD), CDC_PAYLOAD
+    )
+    old_index = dedup.minhash_signature(
+        _fold_conversations(old_state), "doc_id", "text",
+        n_hashes=4, k=3, hash_mode="oracle",
+    )
+    changed = normalized.filter(F.col("batch_id") == "b04").select(
+        F.col("conv_id").alias("doc_id")
+    )
+    return dedup.maintain_minhash_index(
+        old_index, changed, _fold_conversations(new_state),
+        "doc_id", "text", n_hashes=4, k=3, hash_mode="oracle",
     )
 
 
@@ -5464,6 +5513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dedup_best_rep": q_docs_dedup_best_rep,
     "emb_cluster_sample": q_emb_cluster_sample,
     "conv_split_leakage": q_conv_split_leakage,
+    "conv_sig_maintain": q_conv_sig_maintain,
     "cdc_text_churn": q_cdc_text_churn,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
@@ -5589,5 +5639,6 @@ ORACLES: dict[str, str] = {
     "docs_dedup_best_rep": DOCS_DEDUP_BEST_REP_SQL,
     "emb_cluster_sample": EMB_CLUSTER_SAMPLE_SQL,
     "conv_split_leakage": CONV_SPLIT_LEAKAGE_SQL,
+    "conv_sig_maintain": CONV_SIG_MAINTAIN_SQL,
     "cdc_text_churn": CDC_TEXT_CHURN_SQL,
 }

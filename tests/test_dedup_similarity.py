@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -418,3 +419,79 @@ def test_best_rep_prefers_quality_over_min_id(spark):
     assert kept[1] == 5   # best quality, tie on 0.9 → lower id among 5,9
     assert kept[2] == 2   # quality tie → min id
     assert sum(1 for r in out if r["keep"]) == 2
+
+
+# ------------------------------------------- incremental index maintenance
+
+
+def _random_delta(docs, seed):
+    """Deterministic pseudo-random CDC delta over a (doc_id, text) corpus:
+    ids ≡ 0 (mod 3+seed%3) deleted, ids ≡ 1 updated (text rewritten),
+    fresh ids inserted. Returns (new_state, changed_ids)."""
+    m = 3 + seed % 3
+    deleted = F.col("doc_id") % m == 0
+    updated = F.col("doc_id") % m == 1
+    new_state = docs.filter(~deleted).withColumn(
+        "text",
+        F.when(updated, F.concat(F.lit(f"rewritten {seed} "), F.col("text")))
+        .otherwise(F.col("text")),
+    )
+    base = docs.select(F.max("doc_id")).first()[0]
+    inserts = docs.sparkSession.createDataFrame(
+        [(base + 1 + i, f"brand new doc {seed} variant {i} text body")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    new_state = new_state.unionByName(inserts)
+    changed = docs.filter(deleted | updated).select("doc_id").unionByName(
+        inserts.select("doc_id")
+    )
+    return new_state, changed
+
+
+def test_maintain_minhash_index_equals_rebuild(spark):
+    """maintain(index(old), delta, new) == index(new) for arbitrary
+    deltas mixing deletes, updates, and inserts — the IVM contract of the
+    dedup index, in production hash mode."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    for seed in (0, 1, 2):
+        new_state, changed = _random_delta(docs, seed)
+        old_index = dedup.minhash_signature(
+            docs, "doc_id", "text", n_hashes=4, hash_mode="production"
+        )
+        maintained = dedup.maintain_minhash_index(
+            old_index, changed, new_state, "doc_id", "text",
+            n_hashes=4, hash_mode="production",
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+        rebuilt = dedup.minhash_signature(
+            new_state, "doc_id", "text", n_hashes=4, hash_mode="production"
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(maintained, rebuilt)
+        # the delta must be non-vacuous in every direction
+        assert changed.count() > 4                      # deletes/updates exist
+        assert maintained["doc_id"].max() > docs.select(F.max("doc_id")).first()[0]
+
+
+def test_maintain_index_joins_not_rescans(spark):
+    """Structural pin: the maintained index keeps untouched rows through a
+    LeftAnti id join and recomputes only a LeftSemi-pruned slice — no
+    full-corpus re-hash path exists in the plan."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    new_state, changed = _random_delta(docs, 0)
+    old_index = dedup.minhash_signature(
+        docs, "doc_id", "text", n_hashes=4, hash_mode="production"
+    )
+    plan = dedup.maintain_minhash_index(
+        old_index, changed, new_state, "doc_id", "text",
+        n_hashes=4, hash_mode="production",
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
