@@ -2351,6 +2351,10 @@ def q_cdc_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, events.filter(F.col("lsn") > l2),
         fence_key="maint/e2/b00", epoch_id=2,
     )
+    # sorted within-bucket rewrite (Iceberg OPTIMIZE/sort-order analogue) —
+    # the final read goes through the optimized layout, so the green row
+    # proves the rewrite is invisible to readers too
+    table.optimize_layout(spark)
     events.unpersist()
     return table.visible(spark)
 

@@ -89,6 +89,12 @@ class Manifest:
     # versions survive expire_snapshots (reproducibility pins: "the
     # corpus we trained run X on"). Missing in legacy manifests → {}.
     tags: dict = field(default_factory=dict)
+    # Declared within-bucket sort order (Iceberg sort-order analogue),
+    # recorded by optimize_layout(). Advisory metadata: files written by
+    # ordinary epoch commits after an optimize are NOT sorted (the sort
+    # holds per optimized snapshot, like Iceberg's sorted data files vs
+    # later appends). [] = never optimized / legacy manifests.
+    sort_order: list = field(default_factory=list)
 
     @staticmethod
     def empty(n_buckets: int, payload_cols: list[str]) -> "Manifest":
@@ -275,7 +281,8 @@ class LakeTable:
     # ---------- IO ----------
 
     def _write_register_files(
-        self, regs: DataFrame, n_buckets: int, tag: str
+        self, regs: DataFrame, n_buckets: int, tag: str,
+        sort_cols: tuple[str, ...] = (),
     ) -> list[dict]:
         """Write register rows as one parquet file per touched bucket,
         directly into a unique per-commit directory under data/ — write
@@ -288,12 +295,16 @@ class LakeTable:
         the reference's S3 world and serializes on the driver)."""
         commit_id = uuid.uuid4().hex[:12]
         out = os.path.join(self.data_dir, f"{tag}-{commit_id}")
-        (
-            regs.withColumn(BUCKET_COL, bucket_expr(n_buckets))
-            .repartition(BUCKET_COL)
-            .write.partitionBy(BUCKET_COL)
-            .parquet(out)
+        bucketed = regs.withColumn(BUCKET_COL, bucket_expr(n_buckets)).repartition(
+            BUCKET_COL
         )
+        if sort_cols:
+            # within-task sort (no extra shuffle): each per-bucket output
+            # file comes out in key order, so its parquet row-group min/max
+            # stats are disjoint key ranges — point/range reads skip row
+            # groups instead of scanning the bucket (see optimize_layout)
+            bucketed = bucketed.sortWithinPartitions(BUCKET_COL, *sort_cols)
+        bucketed.write.partitionBy(BUCKET_COL).parquet(out)
         files: list[dict] = []
         for entry in sorted(os.listdir(out)):
             mm = re.match(rf"{BUCKET_COL}=(\d+)$", entry)
@@ -1292,6 +1303,63 @@ class LakeTable:
             tags=dict(getattr(m, "tags", {}) or {}),
         )
         self._write_manifest(new_manifest)
+
+    def optimize_layout(
+        self, spark: SparkSession,
+        sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ) -> None:
+        """Rewrite every bucket with rows sorted by ``sort_cols``, one
+        snapshot commit, no logical change — the Iceberg sort-order /
+        OPTIMIZE analogue for the maintenance window.
+
+        Why at 100 TB: after thousands of epoch commits each bucket is a
+        pile of per-epoch files in arrival order, so (a) a point/range
+        read inside a bucket scans everything (row-group min/max stats
+        span the whole key range), and (b) the file count grows without
+        bound. The rewrite collapses each bucket to key-sorted files whose
+        row-group stats are disjoint key ranges — parquet readers skip
+        row groups on conv_id predicates — and adjacent-key runs compress
+        better (RLE/dict pages see clustered values). One shuffle on the
+        bucket id + a within-task sort; cost is one full-table rewrite,
+        amortized across every read until the next optimize.
+
+        State is bit-identical (the driver-checked ``cdc_maintenance_cycle``
+        row runs this between compaction and the final read); fences,
+        lineage, dead letters, tags, watermarks all carry over, so
+        exactly-once re-delivery is unaffected. The declared order is
+        recorded as ``manifest().sort_order`` for the optimized snapshot;
+        later epoch commits append unsorted files again (and reset the
+        declaration), exactly like Iceberg sorted files vs later appends.
+        Single-writer operation like vacuum/rebucket/compact."""
+        if not sort_cols:
+            raise ValueError("sort_cols must name at least one column")
+        m = self.manifest()
+        key_cols = {"conv_id", "turn_idx"}
+        unknown = set(sort_cols) - key_cols - set(m.payload_cols)
+        if unknown:
+            raise ValueError(
+                f"unknown sort columns {sorted(unknown)}; "
+                f"table has keys {sorted(key_cols)} + payload {m.payload_cols}"
+            )
+        regs = self.read_registers(spark)
+        files = self._write_register_files(
+            regs, m.n_buckets, tag="optimize", sort_cols=tuple(sort_cols)
+        )
+        self._write_manifest(
+            Manifest(
+                version=m.version + 1,
+                payload_cols=m.payload_cols,
+                n_buckets=m.n_buckets,
+                files=files,
+                committed=m.committed,
+                lineage=m.lineage,
+                dead_letter_files=m.dead_letter_files,
+                lsn_watermark=int(getattr(m, "lsn_watermark", 0) or 0),
+                erase_floor=int(getattr(m, "erase_floor", 0) or 0),
+                tags=dict(getattr(m, "tags", {}) or {}),
+                sort_order=list(sort_cols),
+            )
+        )
 
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Drop historical manifests beyond the newest ``keep_last``

@@ -538,3 +538,57 @@ def test_retry_absorbs_winner_mid_swap(spark, tmp_path):
         epoch_id=0,
     )
     assert table.visible(spark).count() == 1
+
+
+def test_optimize_layout_sorts_buckets_and_preserves_everything(spark, tmp_path):
+    """optimize_layout(): state bit-identical, fences still fence, every
+    rewritten bucket file physically sorted by (conv_id, turn_idx), sort
+    order recorded in the manifest for the optimized snapshot."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    # two commits so buckets hold multiple files in arrival (not key) order
+    rows0 = [{"lsn": i + 1, "conv_id": f"conv-{(37 * i) % 50:03d}",
+              "turn_idx": i % 3, "text": f"t{i}"} for i in range(40)]
+    rows1 = [{"lsn": 100 + i, "conv_id": f"conv-{(11 * i) % 50:03d}",
+              "turn_idx": i % 3, "text": f"u{i}", "op": "update"}
+             for i in range(40)]
+    assert table.merge_batch(spark, _events(spark, rows0), fence_key="o/e0/b0", epoch_id=0)
+    assert table.merge_batch(spark, _events(spark, rows1), fence_key="o/e1/b0", epoch_id=1)
+    before = normalize_frame(table.visible(spark).toPandas())
+    v_before = table.manifest().version
+
+    table.optimize_layout(spark)
+    m = table.manifest()
+    assert m.version == v_before + 1
+    assert m.sort_order == ["conv_id", "turn_idx"]
+    after = normalize_frame(table.visible(spark).toPandas())
+    pd.testing.assert_frame_equal(before, after)
+
+    # every data file is physically key-sorted
+    for f in m.files:
+        pdf = pd.read_parquet(f["path"])[["conv_id", "turn_idx"]]
+        assert list(pdf.itertuples(index=False)) == sorted(
+            pdf.itertuples(index=False)
+        ), f"unsorted file {f['path']}"
+
+    # fences carried over: re-delivering an applied epoch is still a no-op
+    assert not table.merge_batch(
+        spark, _events(spark, rows0), fence_key="o/e0/b0", epoch_id=0
+    )
+    # point lookup unaffected
+    got = table.lookup(spark, "conv-000").toPandas()
+    assert (got["conv_id"] == "conv-000").all() and len(got) > 0
+
+    # a later epoch commit appends unsorted files again -> declaration resets
+    assert table.merge_batch(
+        spark,
+        _events(spark, [{"lsn": 500, "conv_id": "conv-000", "turn_idx": 0,
+                         "text": "fresh"}]),
+        fence_key="o/e2/b0", epoch_id=2,
+    )
+    assert table.manifest().sort_order == []
+
+
+def test_optimize_layout_rejects_unknown_sort_column(spark, tmp_path):
+    table = LakeTable.create(spark, str(tmp_path / "t2"), n_buckets=2)
+    with pytest.raises(ValueError, match="unknown sort columns"):
+        table.optimize_layout(spark, sort_cols=("no_such_col",))
