@@ -102,6 +102,7 @@ HEADLINE = [
     "cdc_source_order_audit",
     "docs_bpe_pairs",
     "conv_sig_maintain",
+    "cdc_dead_letter_replay",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

@@ -171,3 +171,40 @@ def expand_moves(
         src_deletes.select(*out_cols)
     )
     return normalized, dead_moves
+
+
+def repair_dead_letters(
+    dead: DataFrame,
+    op_aliases: dict[str, str] | None = None,
+    promoted: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Mechanical repair + re-validation of dead-lettered events — the
+    poison-message drain loop: after the producer bug is identified, the
+    dead-letter store is replayed through a declared fix and ONLY rows the
+    full validator then accepts re-enter the pipeline (with their original
+    lsns, so LWW slots them into the order they should have had).
+
+    ``op_aliases`` maps bad op spellings to valid ones (the typical
+    breakage: an upstream renames/miscases an op; the reference's failure
+    relationship re-ingest after an upstream fix, ReorderFiles.kt:416-418).
+
+    Returns (recovered_good, still_dead): recovered rows are
+    validate()-normalized (synthesized ids, promoted columns); rows whose
+    OTHER defects persist (e.g. an aliased op still lacking its key) stay
+    dead with their fresh reason — repair never bypasses validation, it
+    only rewrites fields and resubmits.
+
+    Scale: one narrow projection over the (tiny) dead-letter table plus
+    validate()'s pure expressions — no joins, no shuffle.
+    """
+    e = dead.drop("reason")
+    if op_aliases:
+        mapped = F.col("op")
+        for bad, good_op in sorted(op_aliases.items()):
+            if good_op not in VALID_OPS:
+                raise ValueError(
+                    f"alias target {good_op!r} is not a valid op {VALID_OPS}"
+                )
+            mapped = F.when(F.col("op") == bad, F.lit(good_op)).otherwise(mapped)
+        e = e.withColumn("op", mapped)
+    return validate(e, promoted or [])

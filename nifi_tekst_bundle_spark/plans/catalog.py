@@ -399,6 +399,77 @@ def q_cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dead.groupBy("reason").agg(F.count("*").alias("n"))
 
 
+# Dead-letter replay after an upstream fix: the 'frobnicate' op (a producer
+# renaming bug by construction) is aliased back to 'update', repaired rows
+# re-enter through the FULL validator (rows still missing their key stay
+# dead), and recovered events fold into the final state at their original
+# lsns. The oracle replays the same repair + filter + LWW fold.
+_EV_SQL_INVALID_FULL = """
+  SELECT event_id + 1 AS lsn,
+         CASE WHEN event_type = 'signup' AND value < 20 THEN 'frobnicate'
+              WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'purchase' THEN 'update'
+              ELSE 'insert' END AS op,
+         CASE WHEN user_id % 7 = 0 THEN NULL
+              ELSE 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') END AS conv_id,
+         CAST(event_id % 25 AS INT) AS turn_idx,
+         CASE WHEN event_type <> 'error' THEN event_type END AS role,
+         CASE WHEN event_type <> 'error' AND value > 50
+              THEN 'v' || CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS VARCHAR) END AS text,
+         CASE WHEN event_type <> 'error' AND value > 100 THEN 'hot' END AS tool
+  FROM events
+"""
+
+CDC_DEAD_LETTER_REPLAY_SQL = f"""
+WITH raw AS ({_EV_SQL_INVALID_FULL}),
+rep AS (
+  SELECT lsn, CASE WHEN op = 'frobnicate' THEN 'update' ELSE op END AS op,
+         conv_id, turn_idx, role, text, tool
+  FROM raw
+),
+ok AS (
+  SELECT * FROM rep
+  WHERE op IN ('insert','update','delete')
+    AND (conv_id IS NOT NULL OR op = 'insert')
+    AND turn_idx IS NOT NULL
+),
+ev2 AS (
+  SELECT lsn, op,
+         coalesce(conv_id, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0')) AS conv_id,
+         turn_idx, role, text, tool
+  FROM ok
+),
+agg AS (
+  SELECT conv_id, turn_idx,
+    coalesce(max(lsn) FILTER (WHERE op <> 'delete'), -1) AS lup,
+    coalesce(max(lsn) FILTER (WHERE op = 'delete'), -1) AS ldel,
+    {_AGG}
+  FROM ev2 GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx,
+  {_VIS}
+FROM agg WHERE lup > ldel
+"""
+
+
+def q_cdc_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state after draining the dead-letter store through a declared
+    repair (resolve.repair_dead_letters): op alias frobnicate→update, full
+    re-validation, recovered events joining the fold at their ORIGINAL
+    lsns — so the result differs from cdc_lww_final_state exactly by the
+    events the producer bug had poisoned, and rows whose key is still
+    missing stay dead through the replay."""
+    events = derive_change_events(spark, sf_dir, include_invalid=True)
+    good, dead = resolve.validate(events, [])
+    recovered, _still_dead = resolve.repair_dead_letters(
+        dead, op_aliases={"frobnicate": "update"}
+    )
+    allg = good.unionByName(recovered).select(
+        "lsn", "batch_id", "op", "conv_id", "turn_idx", *CDC_PAYLOAD
+    )
+    return lww.visible(lww.batch_registers(allg, CDC_PAYLOAD), CDC_PAYLOAD)
+
+
 CDC_ID_SYNTHESIS_SQL = f"""
 WITH ev AS ({_EV_SQL_VALID})
 SELECT lsn, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0') AS conv_id
@@ -5410,6 +5481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_moves_final_state": q_cdc_moves_final_state,
     "cdc_moves_streaming": q_cdc_moves_streaming,
     "cdc_dead_letter": q_cdc_dead_letter,
+    "cdc_dead_letter_replay": q_cdc_dead_letter_replay,
     "cdc_id_synthesis": q_cdc_id_synthesis,
     "cdc_lineage_rollup": q_cdc_lineage_rollup,
     "cdc_schema_evolution": q_cdc_schema_evolution,
@@ -5534,6 +5606,7 @@ ORACLES: dict[str, str] = {
     "cdc_moves_final_state": CDC_MOVES_SQL,
     "cdc_moves_streaming": CDC_MOVES_SQL,
     "cdc_dead_letter": CDC_DEAD_LETTER_SQL,
+    "cdc_dead_letter_replay": CDC_DEAD_LETTER_REPLAY_SQL,
     "cdc_id_synthesis": CDC_ID_SYNTHESIS_SQL,
     "cdc_lineage_rollup": CDC_LINEAGE_SQL,
     "cdc_schema_evolution": CDC_EVOLUTION_SQL,
