@@ -103,6 +103,7 @@ HEADLINE = [
     "docs_bpe_pairs",
     "conv_sig_maintain",
     "cdc_dead_letter_replay",
+    "conv_document_maintain",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

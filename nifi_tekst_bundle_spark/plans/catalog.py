@@ -873,8 +873,7 @@ GROUP BY conv_id
 """
 
 
-def q_conv_document(spark: SparkSession, sf_dir: str) -> DataFrame:
-    final = q_cdc_lww_final_state(spark, sf_dir)
+def _render_documents(final: DataFrame) -> DataFrame:
     st = F.struct(
         F.col("turn_idx").alias("t"),
         F.col("role").alias("r"),
@@ -906,6 +905,45 @@ def q_conv_document(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc.alias("doc"),
         F.md5(doc.cast("binary")).alias("doc_md5"),
     )
+
+
+def q_conv_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _render_documents(q_cdc_lww_final_state(spark, sf_dir))
+
+
+def q_conv_document_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-render under CDC — the reference's operational shape
+    (CreateMetsBrowsing regenerates an item's METS when that item's files
+    change, never the whole corpus): renders built over the pre-b04 state
+    pass through a conv_id anti-join untouched; only conversations batch
+    b04 touches are re-folded and re-rendered from the new state. The
+    oracle is the FULL re-render of the final state, so the green row
+    proves incremental ≡ rebuild. At 10^10 events per-epoch render cost is
+    ∝ changed conversations (epoch-sized, broadcast-eligible id joins)."""
+    events = derive_change_events(spark, sf_dir)
+    good, _dead = resolve.validate(events, [])
+    normalized = good.select(
+        "lsn", "batch_id", "op", "conv_id", "turn_idx", *CDC_PAYLOAD
+    )
+    old_state = lww.visible(
+        lww.batch_registers(
+            normalized.filter(F.col("batch_id") != "b04"), CDC_PAYLOAD
+        ),
+        CDC_PAYLOAD,
+    )
+    new_state = lww.visible(
+        lww.batch_registers(normalized, CDC_PAYLOAD), CDC_PAYLOAD
+    )
+    changed = (
+        normalized.filter(F.col("batch_id") == "b04")
+        .select("conv_id")
+        .distinct()
+    )
+    kept = _render_documents(old_state).join(changed, "conv_id", "left_anti")
+    fresh = _render_documents(
+        new_state.join(changed, "conv_id", "left_semi")
+    )
+    return kept.unionByName(fresh)
 
 
 KEY_PROJECTION_SQL = r"""
@@ -5498,6 +5536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rational_projection": q_rational_projection,
     "rational_decimal": q_rational_decimal,
     "conv_document": q_conv_document,
+    "conv_document_maintain": q_conv_document_maintain,
     "key_projection": q_key_projection,
     "json_props_roundtrip": q_json_props_roundtrip,
     "docs_exact_dedup": q_docs_exact_dedup,
@@ -5623,6 +5662,7 @@ ORACLES: dict[str, str] = {
     "rational_projection": RATIONAL_SQL,
     "rational_decimal": RATIONAL_DECIMAL_SQL,
     "conv_document": CONV_DOCUMENT_SQL,
+    "conv_document_maintain": CONV_DOCUMENT_SQL,
     "key_projection": KEY_PROJECTION_SQL,
     "json_props_roundtrip": JSON_PROPS_SQL,
     "docs_exact_dedup": DOCS_EXACT_DEDUP_SQL,

@@ -260,3 +260,27 @@ def test_dead_letter_replay_recovers_poisoned_events(spark):
     n_rec = recovered.count()
     assert n_rec > 0
     assert len(replayed) > 0 and len(plain) > 0
+
+
+def test_conv_document_maintain_is_nonvacuous(spark):
+    """The incremental render path must exercise BOTH branches: some
+    renders kept from the old snapshot, some re-rendered for changed
+    conversations — and together they equal the full rebuild (the oracle
+    row checks equality; this pins that the split isn't degenerate)."""
+    from nifi_tekst_bundle_spark.operators import lww, resolve
+    from nifi_tekst_bundle_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.001"
+    events = catalog.derive_change_events(spark, sf)
+    good, _ = resolve.validate(events, [])
+    normalized = good.select(
+        "lsn", "batch_id", "op", "conv_id", "turn_idx", *catalog.CDC_PAYLOAD
+    )
+    changed = (
+        normalized.filter(F.col("batch_id") == "b04")
+        .select("conv_id").distinct()
+    )
+    n_changed = changed.count()
+    total = catalog.q_conv_document_maintain(spark, sf).count()
+    assert n_changed > 0
+    assert total > n_changed  # kept branch non-empty too
