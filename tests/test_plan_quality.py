@@ -371,3 +371,32 @@ def test_round4_transcript_queries_plan_shape(spark):
     plan = _plan(catalog.q_conv_pii_scrub(spark, SF))
     assert plan.count("Exchange hashpartitioning") == base
     assert "BatchEvalPython" not in plan
+
+
+def test_bpe_pairs_jvm_side_two_phase_topk(spark):
+    """BPE pair counting: pure JVM (no Python), both count stages partial-
+    aggregated, top-k via TakeOrderedAndProject (no global sort
+    materialization)."""
+    df = catalog.q_docs_bpe_pairs(spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # word agg + pair agg
+
+
+def test_dead_letter_replay_stays_jvm_single_register_shuffle(spark):
+    """Repair + re-validation are pure expressions: the replayed fold keeps
+    the hot path's shape — no Python, one register exchange."""
+    df = catalog.q_cdc_dead_letter_replay(spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_maintain_queries_no_cartesian(spark):
+    """Both incremental-maintenance queries: id-keyed anti/semi joins only
+    — no cartesian, no Python in the fold/render path."""
+    for q in (catalog.q_conv_sig_maintain, catalog.q_conv_document_maintain):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
