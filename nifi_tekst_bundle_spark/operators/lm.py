@@ -198,3 +198,96 @@ def bpe_pair_counts(
     return pairs.orderBy(
         F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
     ).limit(top_k)
+
+
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> list[tuple[str, str]]:
+    """Learn an ordered BPE merge list from the corpus — the full trainer
+    loop whose single round :func:`bpe_pair_counts` exposes.
+
+    Round r: count adjacent-symbol pairs over the frequency-weighted
+    vocabulary, merge the single most frequent pair (ties broken
+    lexicographically — deterministic, replay-stable), rewrite the
+    vocabulary's symbol sequences, repeat. Returns the merge list
+    [(left, right), ...] in learned order, stopping early when no pair
+    repeats (count < 2 carries no merge signal).
+
+    Scale shape: the corpus is scanned ONCE (word-frequency aggregation);
+    every round after that runs on the vocabulary table — a narrow
+    symbol-array rewrite (aggregate fold, pure JVM) plus one
+    vocabulary-sized pair count. The driver holds one (pair, count) row
+    per round (argmax via TakeOrdered limit 1), never the vocabulary.
+    The vocab table is localCheckpointed once up front so the n_merges
+    rounds do not replay the corpus scan (eager by necessity — the loop's
+    argmax is an action per round; cf. dedup.dedup_clusters).
+
+    A merged symbol is the concatenation of its parts (no separator),
+    matching the standard byte/char-level BPE convention; pairs are
+    compared as (count DESC, left ASC, right ASC).
+    """
+    vocab = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("wf"))
+        .select(
+            F.split(F.col("word"), "").alias("syms"), F.col("wf")
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            vocab.select(
+                "wf",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("syms") - 2),
+                            lambda i: F.struct(
+                                F.element_at("syms", (i + 1).cast("int")).alias("l"),
+                                F.element_at("syms", (i + 2).cast("int")).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wf").alias("n"))
+        )
+        top = (
+            pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).limit(1).collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        # rewrite each word's symbol sequence: fold left-to-right, joining
+        # (left, right) occurrences greedily (standard BPE application)
+        rewrite = F.expr(
+            """
+            aggregate(
+              syms,
+              CAST(array() AS array<string>),
+              (acc, s) -> CASE
+                WHEN size(acc) > 0 AND element_at(acc, -1) = {L} AND s = {R}
+                THEN concat(slice(acc, 1, size(acc) - 1), array({LR}))
+                ELSE concat(acc, array(s)) END
+            )
+            """.format(
+                L=_sql_str(left), R=_sql_str(right), LR=_sql_str(left + right)
+            )
+        )
+        vocab = vocab.select(rewrite.alias("syms"), "wf").localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal with escaping."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

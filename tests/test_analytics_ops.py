@@ -263,3 +263,59 @@ def test_bpe_pair_counts_expands_vocab_not_corpus(spark):
     # two generates, and the pair generate must sit ABOVE the first agg
     assert plan.count("Generate") >= 2
     assert "HashAggregate" in plan
+
+
+def test_bpe_learn_classic_example(spark):
+    """The canonical BPE toy corpus: with word freqs low×5, lower×2,
+    newest×6, widest×3, the trainer must learn 'es'+'t' style merges in
+    frequency order; replaying the learned merges serially reproduces
+    the same pair choices."""
+    rows = (["low"] * 5) + (["lower"] * 2) + (["newest"] * 6) + (["widest"] * 3)
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(rows)], ["i", "text"])
+    from nifi_tekst_bundle_spark.operators import lm
+
+    merges = lm.bpe_learn(df, "text", n_merges=4)
+    # serial reference implementation
+    import collections
+
+    vocab = collections.Counter(rows)
+    seqs = {w: list(w) for w in vocab}
+
+    def top_pair():
+        c = collections.Counter()
+        for w, f in vocab.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                c[(a, b)] += f
+        if not c:
+            return None
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        return best if best[1] >= 2 else None
+
+    expected = []
+    for _ in range(4):
+        t = top_pair()
+        if t is None:
+            break
+        (a, b), _n = t
+        expected.append((a, b))
+        for w in seqs:
+            s, out = seqs[w], []
+            for sym in s:
+                if out and out[-1] == a and sym == b:
+                    out[-1] = a + b
+                else:
+                    out.append(sym)
+            seqs[w] = out
+    assert merges == expected
+    assert len(merges) == 4
+    # first merge must involve the most frequent adjacent pair of the
+    # corpus ('es' appears in newest(6)+widest(3)=9 — the max)
+    assert merges[0] == ("e", "s")
+
+
+def test_bpe_learn_stops_when_no_pair_repeats(spark):
+    df = spark.createDataFrame([(1, "ab cd ef")], ["i", "text"])
+    from nifi_tekst_bundle_spark.operators import lm
+
+    assert lm.bpe_learn(df, "text", n_merges=5) == []
