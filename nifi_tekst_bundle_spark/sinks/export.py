@@ -104,3 +104,61 @@ def read_export(spark, out_dir: str) -> DataFrame:
     if not os.path.exists(manifest_path):
         raise ValueError(f"{out_dir} has no _MANIFEST.json — incomplete export")
     return spark.read.json(os.path.join(out_dir, "shard=*"))
+
+
+def export_delta_jsonl(
+    spark,
+    table,
+    base_version: int,
+    out_dir: str,
+    n_shards: int,
+    key_col: str = "conv_id",
+    compression: str = "gzip",
+) -> dict:
+    """Incremental training-data publish: export ONLY the conversations
+    changed since ``base_version`` — the per-epoch delta a downstream
+    training stack applies to its copy of the corpus, instead of
+    re-downloading a full export after every ingest epoch.
+
+    Contract (conversation-granular, replace-then-delete):
+    - the export holds the CURRENT visible rows of every conversation the
+      change feed touched between base_version and HEAD;
+    - the manifest's ``deleted_keys`` lists touched conversations with NO
+      remaining visible rows (fully deleted) — explicit tombstones,
+      because a JSONL consumer cannot infer deletion from absence;
+    - a consumer applies the delta by dropping ALL its rows for touched
+      keys (exported ∪ deleted), then appending the exported rows.
+      Applying onto a base-version export reproduces the HEAD export —
+      pinned by tests/test_export_sink.py::test_delta_export_reconstructs_head.
+
+    Scale: the diff comes from ``table.table_changes`` (bucket-pruned —
+    reads only buckets whose file lists differ between the manifests), the
+    visible read is semi-joined down to touched keys before anything
+    shuffles, and the export itself is the standard sharded writer. Cost
+    ∝ changed conversations per epoch, never corpus size.
+
+    Returns the manifest dict (export_jsonl_shards' manifest plus
+    ``delta``: {base_version, head_version, touched_keys, deleted_keys}).
+    """
+    head = table.manifest().version
+    if base_version >= head:
+        raise ValueError(
+            f"base_version {base_version} is not below HEAD {head}"
+        )
+    diff = table.table_changes(spark, base_version, head)
+    touched = diff.select(F.col(key_col)).distinct()
+    vis = table.visible(spark).join(touched, key_col, "left_semi")
+    manifest = export_jsonl_shards(vis, out_dir, n_shards, key_col, compression)
+    surviving = {r[0] for r in vis.select(key_col).distinct().collect()}
+    touched_keys = sorted(r[0] for r in touched.collect())
+    deleted = sorted(set(touched_keys) - surviving)
+    manifest["delta"] = {
+        "base_version": int(base_version),
+        "head_version": int(head),
+        "touched_keys": touched_keys,
+        "deleted_keys": deleted,
+    }
+    manifest_path = os.path.join(out_dir, "_MANIFEST.json")
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

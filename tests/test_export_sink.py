@@ -61,3 +61,81 @@ def test_export_is_immutable_and_incomplete_reads_fail(spark):
     os.remove(os.path.join(out, "_MANIFEST.json"))
     with pytest.raises(ValueError, match="incomplete"):
         export.read_export(spark, out)
+
+
+def test_delta_export_reconstructs_head(spark, tmp_path):
+    """Full export at v_base + delta export applied on top must equal a
+    full export at HEAD: touched conversations replaced wholesale,
+    fully-deleted conversations listed as explicit tombstones."""
+    import pandas as pd
+
+    from nifi_tekst_bundle_spark.table.lake import LakeTable
+    from tests.conftest import spark_events
+
+    def ev(rows):
+        base = {
+            "batch_id": "b0", "op": "insert", "turn_idx": 0,
+            "src_conv_id": None, "src_turn_idx": None, "role": "user",
+            "text": None, "tool": None, "ts": None, "schema_version": 1,
+            "extra": None,
+        }
+        return spark_events(spark, pd.DataFrame([{**base, **r} for r in rows]))
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    assert table.merge_batch(
+        spark,
+        ev([{"lsn": i + 1, "conv_id": f"conv-{i % 6:02d}", "turn_idx": i // 6,
+             "text": f"t{i}"} for i in range(18)]),
+        fence_key="d/e0/b0", epoch_id=0,
+    )
+    v_base = table.manifest().version
+    full_base = export.export_jsonl_shards(
+        table.visible(spark), str(tmp_path / "full_base"), 4, "conv_id"
+    )
+    # epoch: update conv-00, insert conv-99, fully delete conv-01
+    assert table.merge_batch(
+        spark,
+        ev([
+            {"lsn": 100, "conv_id": "conv-00", "turn_idx": 0,
+             "text": "updated", "op": "update"},
+            {"lsn": 101, "conv_id": "conv-99", "turn_idx": 0, "text": "new"},
+            {"lsn": 102, "conv_id": "conv-01", "turn_idx": 0, "op": "delete"},
+            {"lsn": 103, "conv_id": "conv-01", "turn_idx": 1, "op": "delete"},
+            {"lsn": 104, "conv_id": "conv-01", "turn_idx": 2, "op": "delete"},
+        ]),
+        fence_key="d/e1/b0", epoch_id=1,
+    )
+    delta = export.export_delta_jsonl(
+        spark, table, v_base, str(tmp_path / "delta"), 4
+    )
+    d = delta["delta"]
+    assert d["base_version"] == v_base
+    assert set(d["touched_keys"]) == {"conv-00", "conv-99", "conv-01"}
+    assert d["deleted_keys"] == ["conv-01"]
+
+    # consumer contract: drop touched keys from the base export, append
+    # the delta rows -> equals a fresh full export of HEAD
+    base_df = export.read_export(spark, str(tmp_path / "full_base"))
+    delta_df = export.read_export(spark, str(tmp_path / "delta"))
+    touched = set(d["touched_keys"]) | set(d["deleted_keys"])
+    applied = base_df.filter(~F.col("conv_id").isin(*touched)).unionByName(
+        delta_df
+    )
+    head_df = table.visible(spark)
+    cols = ["conv_id", "turn_idx", "text"]
+    got = sorted(map(tuple, applied.select(*cols).collect()))
+    want = sorted(map(tuple, head_df.select(*cols).collect()))
+    assert got == want
+    assert full_base["total_rows"] == 18
+    # delta export is delta-sized, not corpus-sized
+    assert delta["total_rows"] < full_base["total_rows"]
+
+
+def test_delta_export_rejects_non_advancing_base(spark, tmp_path):
+    from nifi_tekst_bundle_spark.table.lake import LakeTable
+
+    table = LakeTable.create(spark, str(tmp_path / "t2"), n_buckets=2)
+    with pytest.raises(ValueError, match="not below HEAD"):
+        export.export_delta_jsonl(
+            spark, table, table.manifest().version, str(tmp_path / "x"), 2
+        )
