@@ -104,6 +104,7 @@ HEADLINE = [
     "conv_sig_maintain",
     "cdc_dead_letter_replay",
     "conv_document_maintain",
+    "cdc_multi_shard_merge",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

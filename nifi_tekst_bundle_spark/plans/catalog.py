@@ -470,6 +470,73 @@ def q_cdc_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lww.visible(lww.batch_registers(allg, CDC_PAYLOAD), CDC_PAYLOAD)
 
 
+# Sharded-binlog deployment: the SAME change log arriving as three
+# hash-routed source shards, merged under the interleaved global order
+# (sources/shards.py). Keys are routed by conv_id (NULL-key inserts by
+# their own lsn — each is a singleton key), so per-key order is per-shard
+# order and the merged fold reproduces the source state; synthesized ids
+# derive from the GLOBAL lsn, which the oracle replicates.
+CDC_MULTI_SHARD_SQL = f"""
+WITH ev AS ({_EV_SQL_VALID}),
+sh AS (
+  SELECT *,
+    CAST(('0x' || substr(md5(coalesce(conv_id, CAST(lsn AS VARCHAR))), 1, 15))::INT64 % 3 AS INT) AS shard
+  FROM ev
+),
+g AS (
+  SELECT lsn * 3 + shard AS lsn, op, conv_id, turn_idx, role, text, tool
+  FROM sh
+),
+ev2 AS (
+  SELECT lsn, op,
+         coalesce(conv_id, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0')) AS conv_id,
+         turn_idx, role, text, tool
+  FROM g
+),
+agg AS (
+  SELECT conv_id, turn_idx,
+    coalesce(max(lsn) FILTER (WHERE op <> 'delete'), -1) AS lup,
+    coalesce(max(lsn) FILTER (WHERE op = 'delete'), -1) AS ldel,
+    {_AGG}
+  FROM ev2 GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx,
+  {_VIS}
+FROM agg WHERE lup > ldel
+"""
+
+
+def q_cdc_multi_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source CDC: the change log split into three hash-routed
+    shards (each keeping only its own monotone positions), re-merged by
+    sources.shards.merge_shard_logs — a pure narrow interleave, no
+    window/renumber/shuffle — then the standard validate → LWW fold.
+    Proves the sharded deployment reproduces the single-stream state
+    under per-key shard routing (non-synthesized keys bit-identical —
+    pinned by test_multi_shard_merge_matches_single_stream)."""
+    from ..sources.shards import merge_shard_logs
+
+    events = derive_change_events(spark, sf_dir)
+    route = F.pmod(
+        dedup.hash64(
+            F.coalesce(F.col("conv_id"), F.col("lsn").cast("string")),
+            "oracle",
+        ),
+        F.lit(3),
+    ).cast("int")
+    tagged = events.withColumn("_shard", route)
+    shard_dfs = [
+        (i, tagged.filter(F.col("_shard") == i).drop("_shard"))
+        for i in range(3)
+    ]
+    merged = merge_shard_logs(shard_dfs, n_shards=3)
+    good, _dead = resolve.validate(merged, [])
+    normalized = good.select(
+        "lsn", "batch_id", "op", "conv_id", "turn_idx", *CDC_PAYLOAD
+    )
+    return lww.visible(lww.batch_registers(normalized, CDC_PAYLOAD), CDC_PAYLOAD)
+
+
 CDC_ID_SYNTHESIS_SQL = f"""
 WITH ev AS ({_EV_SQL_VALID})
 SELECT lsn, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0') AS conv_id
@@ -5520,6 +5587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_moves_streaming": q_cdc_moves_streaming,
     "cdc_dead_letter": q_cdc_dead_letter,
     "cdc_dead_letter_replay": q_cdc_dead_letter_replay,
+    "cdc_multi_shard_merge": q_cdc_multi_shard_merge,
     "cdc_id_synthesis": q_cdc_id_synthesis,
     "cdc_lineage_rollup": q_cdc_lineage_rollup,
     "cdc_schema_evolution": q_cdc_schema_evolution,
@@ -5646,6 +5714,7 @@ ORACLES: dict[str, str] = {
     "cdc_moves_streaming": CDC_MOVES_SQL,
     "cdc_dead_letter": CDC_DEAD_LETTER_SQL,
     "cdc_dead_letter_replay": CDC_DEAD_LETTER_REPLAY_SQL,
+    "cdc_multi_shard_merge": CDC_MULTI_SHARD_SQL,
     "cdc_id_synthesis": CDC_ID_SYNTHESIS_SQL,
     "cdc_lineage_rollup": CDC_LINEAGE_SQL,
     "cdc_schema_evolution": CDC_EVOLUTION_SQL,

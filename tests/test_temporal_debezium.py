@@ -199,3 +199,48 @@ def test_debezium_streaming_source_end_to_end(spark, tmp_path):
         "corrupt line 0 not-json",
         "corrupt line 1 not-json",
     }
+
+
+# ------------------------------------------------------ sharded binlog merge
+
+
+def test_multi_shard_merge_matches_single_stream(spark):
+    """Under per-key shard routing, the merged sharded fold must be
+    bit-identical to the single-stream fold on every NON-synthesized key
+    (synthesized ids derive from the global lsn, which legitimately
+    differs); the synthesized-key COUNT must still agree."""
+    from nifi_tekst_bundle_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.001"
+    single = catalog.q_cdc_lww_final_state(spark, sf).toPandas()
+    merged = catalog.q_cdc_multi_shard_merge(spark, sf).toPandas()
+
+    def split(df):
+        auto = df[df["conv_id"].str.startswith("conv-auto-")]
+        rest = df[~df["conv_id"].str.startswith("conv-auto-")]
+        return auto, rest.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    auto_s, rest_s = split(single)
+    auto_m, rest_m = split(merged)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(rest_s, rest_m)
+    assert len(auto_s) == len(auto_m)
+    assert len(rest_s) > 0 and len(auto_s) > 0
+
+
+def test_merge_shard_logs_validates_and_interleaves(spark):
+    from nifi_tekst_bundle_spark.sources.shards import merge_shard_logs
+
+    a = spark.createDataFrame([(1, "x")], "lsn long, v string")
+    b = spark.createDataFrame([(1, "y")], "lsn long, v string")
+    out = merge_shard_logs([(0, a), (1, b)], n_shards=2).collect()
+    got = {(r["lsn"], r["v"], r["shard_id"]) for r in out}
+    assert got == {(2, "x", 0), (3, "y", 1)}  # collision-free interleave
+
+    import pytest
+
+    with pytest.raises(ValueError, match="outside"):
+        merge_shard_logs([(2, a)], n_shards=2)
+    with pytest.raises(ValueError, match="at least one"):
+        merge_shard_logs([], n_shards=2)
