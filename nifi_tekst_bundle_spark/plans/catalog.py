@@ -2176,6 +2176,46 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Matryoshka truncation (Kusupati et al. 2022): keep the first k dims of
+# an MRL-trained embedding and L2-renormalize — the standard cheap-ANN /
+# storage-tier trick (a 16-dim prefix is 4x less cosine work and 4x less
+# shuffle than 64). Narrow projection, zero shuffle; output exploded to
+# (vec_id, dim_idx, val) scalars. The fold order of the norm sum matches
+# _NRM exactly (0.0-seeded left fold), so values hash bit-identically.
+_MRL_K = 16
+
+EMB_TRUNCATE_RENORM_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding[1:{_MRL_K}], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+n AS (
+  SELECT vec_id, v, {_NRM.format(a='v')} AS nrm FROM e
+)
+SELECT vec_id, CAST(i AS INT) AS dim_idx, round(v[CAST(i AS INT) + 1] / nrm, 6) AS val
+FROM (SELECT vec_id, v, nrm, unnest(range(len(v))) AS i FROM n)
+WHERE nrm > 0
+"""
+
+
+def q_emb_truncate_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v16 = F.slice(F.col("embedding").cast("array<double>"), 1, _MRL_K)
+    d = emb.select("vec_id", v16.alias("_v"), similarity.norm(v16).alias("_n"))
+    return (
+        d.filter(F.col("_n") > 0)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(F.col("_v"), lambda x: F.round(x / F.col("_n"), 6))
+            ).alias("dim_idx", "val"),
+        )
+        .select("vec_id", F.col("dim_idx").cast("int").alias("dim_idx"), "val")
+    )
+
+
 # P11 true form (util/XmlHelper.kt:54-127, jhove/JhoveParser.kt:110-121):
 # build an XML document per row, then extract fields back with XPath —
 # attributes, namespace-agnostic element steps (the local-name() rewrite
@@ -5627,6 +5667,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_banded": q_embedding_neardup_banded,
     "embedding_norms": q_embedding_norms,
+    "emb_truncate_renorm": q_emb_truncate_renorm,
     "xml_extract": q_xml_extract,
     "conv_document_v2": q_conv_document_v2,
     "cdc_hot_key": q_cdc_hot_key,
@@ -5754,6 +5795,7 @@ ORACLES: dict[str, str] = {
     "embedding_neardup": EMB_NEARDUP_SQL,
     "embedding_neardup_banded": EMB_NEARDUP_BANDED_SQL,
     "embedding_norms": EMBEDDING_NORMS_SQL,
+    "emb_truncate_renorm": EMB_TRUNCATE_RENORM_SQL,
     "xml_extract": XML_EXTRACT_SQL,
     "conv_document_v2": CONV_DOCUMENT_V2_SQL,
     "cdc_hot_key": CDC_HOT_KEY_SQL,

