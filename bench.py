@@ -105,6 +105,8 @@ HEADLINE = [
     "cdc_dead_letter_replay",
     "conv_document_maintain",
     "cdc_multi_shard_merge",
+    "docs_winnowing",
+    "emb_truncate_renorm",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

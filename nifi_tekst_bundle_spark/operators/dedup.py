@@ -1132,3 +1132,77 @@ def maintain_minhash_index(
         id_col, text_col, n_hashes, k, hash_mode,
     )
     return kept.unionByName(recomputed)
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    hash_mode: str = "production",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): from each document's word k-gram hash sequence,
+    select the minimum hash of every sliding window of ``w`` consecutive
+    grams, deduplicated by position. Guarantees: any shared run of
+    w+k-1 words between two documents shares at least one selected
+    fingerprint, while storing only ~2/(w+1) of all grams — the
+    density/guarantee trade local-minima sampling cannot make.
+
+    Ties inside a window break to the LEFTMOST position ((value, pos)
+    lexicographic min — with 60-bit hashes ties are ~nonexistent; the
+    rule just pins determinism for the oracle).
+
+    Returns (id, pos, fp) — pos is the selected gram's word index.
+    Plan: pure narrow fold (per-row nested aggregate over the row's own
+    hash array, O(grams·w) with w small), NO shuffle — fingerprint
+    extraction runs at scan speed; downstream matching joins on fp are
+    bounded by the ~2/(w+1) selection density. Docs with fewer than k
+    words produce no fingerprints (NULL gram array); docs with fewer
+    than w grams yield the single whole-prefix window min.
+    """
+    _check_mode(hash_mode)
+    if w < 1:
+        raise ValueError(f"window w must be >= 1, got {w}")
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+    )
+    gh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k), lambda i: hash64(gram(i), hash_mode)
+        ),
+    )
+    d = df.select(F.col(id_col), gh.alias("_h")).filter(F.col("_h").isNotNull())
+    # per window j: lexicographic (value, pos) min over _h[j .. j+w-1];
+    # windows = max(n_grams - w + 1, 1) so short docs keep one window
+    sel = F.expr(
+        f"""
+        array_distinct(transform(
+          sequence(0, greatest(size(_h) - {w}, 0)),
+          j -> aggregate(
+            sequence(j, least(j + {w} - 1, size(_h) - 1)),
+            struct(CAST(NULL AS BIGINT) AS v, CAST(-1 AS INT) AS p),
+            (acc, i) -> CASE
+              WHEN acc.v IS NULL OR element_at(_h, i + 1) < acc.v
+              THEN struct(element_at(_h, i + 1) AS v, CAST(i AS INT) AS p)
+              ELSE acc END
+          )
+        ))
+        """
+    )
+    return (
+        d.select(F.col(id_col), F.explode(sel).alias("s"))
+        .select(
+            id_col,
+            F.col("s.p").alias("pos"),
+            F.col("s.v").alias("fp"),
+        )
+        .distinct()
+    )

@@ -4172,6 +4172,49 @@ def q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.tfidf_topk(_read(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+# Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+# algorithm): per-window minimum of the word-3-gram hash sequence, w=4 —
+# any shared 6-word run between two documents shares a fingerprint while
+# only ~2/(w+1) of grams are stored. Narrow fold, zero shuffle; the
+# oracle replays the same lexicographic-(value,pos) window argmin.
+DOCS_WINNOWING_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id,
+    list_transform(range(len(words) - 2),
+      i -> ('0x' || substr(md5(words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]), 1, 15))::INT64) AS h
+  FROM base WHERE len(words) >= 3
+),
+sel AS (
+  SELECT doc_id,
+    list_transform(
+      range(greatest(len(h) - 4, 0) + 1),
+      j -> list_reduce(
+        list_transform(range(j, least(j + 4, len(h))), i -> {'v': h[i+1], 'p': i}),
+        (acc, x) -> CASE WHEN x.v < acc.v THEN x ELSE acc END
+      )
+    ) AS fps
+  FROM g
+)
+SELECT DISTINCT doc_id, CAST(s.p AS INT) AS pos, s.v AS fp
+FROM (SELECT doc_id, unnest(fps) AS s FROM sel)
+"""
+
+
+def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (dedup.winnow_fingerprints, oracle hash
+    mode): the robust document-fingerprint primitive for plagiarism-style
+    overlap detection — selection density ~2/(w+1) with a shared-run
+    guarantee, extracted at scan speed (no shuffle)."""
+    return dedup.winnow_fingerprints(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        k=3, w=4, hash_mode="oracle",
+    )
+
+
 # BPE tokenizer-training round: adjacent-symbol pair counts over the
 # distinct-word table weighted by word frequency — pair expansion cost is
 # vocabulary-sized, never corpus-sized (the scale property real BPE
@@ -5714,6 +5757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lm_score": q_docs_lm_score,
     "docs_tfidf": q_docs_tfidf,
     "docs_bpe_pairs": q_docs_bpe_pairs,
+    "docs_winnowing": q_docs_winnowing,
     "docs_bloom_dedup": q_docs_bloom_dedup,
     "emb_hard_negatives": q_emb_hard_negatives,
     "docs_simhash_pairs": q_docs_simhash_pairs,
@@ -5844,6 +5888,7 @@ ORACLES: dict[str, str] = {
     "docs_lm_score": DOCS_LM_SCORE_SQL,
     "docs_tfidf": DOCS_TFIDF_SQL,
     "docs_bpe_pairs": DOCS_BPE_PAIRS_SQL,
+    "docs_winnowing": DOCS_WINNOWING_SQL,
     "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_PAIRS_SQL,

@@ -513,3 +513,44 @@ def test_emb_truncate_renorm_unit_norm_and_usable(spark):
     for vid, sq in by_vec.items():
         assert abs(sq - 1.0) < 1e-4, (vid, sq)
     assert set(pdf["dim_idx"].unique()) == set(range(16))
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing guarantee: two docs sharing a run of w+k-1 = 6 words
+    must share at least one selected fingerprint VALUE; selection keeps
+    far fewer than all grams (density ~2/(w+1)); both hash modes honor
+    the guarantee."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three four five six seven"),
+        (2, f"nine ten eleven twelve {shared} thirteen fourteen"),
+        (3, "totally unrelated words in this document about nothing at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for mode in dedup.HASH_MODES:
+        fp = dedup.winnow_fingerprints(
+            df, "doc_id", "text", k=3, w=4, hash_mode=mode
+        ).toPandas()
+        by_doc = {d: set(g["fp"]) for d, g in fp.groupby("doc_id")}
+        assert by_doc[1] & by_doc[2], f"guarantee violated in {mode}"
+        assert not (by_doc[1] & by_doc[3])
+    # density: far fewer fingerprints than grams on the corpus
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_grams = docs.filter(F.col("text").isNotNull()).select(
+        F.greatest(
+            F.size(F.split(F.lower(F.trim("text")), r"\s+")) - 2, F.lit(0)
+        ).alias("g")
+    ).agg(F.sum("g")).first()[0]
+    n_fp = dedup.winnow_fingerprints(docs, "doc_id", "text").count()
+    assert n_fp < 0.6 * n_grams  # ~2/(w+1)=0.4 expected, margin for dups
+
+
+def test_winnowing_short_docs(spark):
+    """Docs with < k words emit nothing; docs with >= k but < w grams
+    emit exactly the single whole-prefix window min."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    out = dedup.winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    assert {r["doc_id"] for r in out} == {2}
+    assert len(out) == 1  # 2 grams -> one window -> one selection
