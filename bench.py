@@ -106,6 +106,7 @@ HEADLINE = [
     "conv_document_maintain",
     "cdc_multi_shard_merge",
     "docs_winnowing",
+    "docs_winnowing_pairs",
     "emb_truncate_renorm",
 ]
 

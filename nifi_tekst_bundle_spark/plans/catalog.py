@@ -4215,6 +4215,59 @@ def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MOSS matching step: docs sharing >= 2 (distinct) selected fingerprints,
+# after dropping fingerprints present in > max_df docs (boilerplate grams
+# would otherwise form quadratic hot buckets — the same cap discipline as
+# the banded-LSH bucket_cap, applied at the join key). The join fans out
+# only within per-fingerprint doc lists, all bounded by max_df.
+_WINNOW_MAX_DF = 20
+
+DOCS_WINNOWING_PAIRS_SQL = f"""
+WITH fp_pos AS ({DOCS_WINNOWING_SQL}),
+fp AS (SELECT DISTINCT doc_id, fp FROM fp_pos),
+rare AS (
+  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {_WINNOW_MAX_DF}
+),
+kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+
+def q_docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-overlap candidate pairs: the MOSS matching join over
+    the winnowed (doc, fp) table — distinct per doc, hot fingerprints
+    (df > {max_df}) dropped like LSH bucket caps, then one fp-keyed
+    self-join whose fan-out is bounded by max_df per key."""
+    fp = (
+        dedup.winnow_fingerprints(
+            _read(spark, sf_dir, "documents"), "doc_id", "text",
+            k=3, w=4, hash_mode="oracle",
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= _WINNOW_MAX_DF)
+        .select("fp")
+    )
+    kept = fp.join(rare, "fp", "left_semi")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 # BPE tokenizer-training round: adjacent-symbol pair counts over the
 # distinct-word table weighted by word frequency — pair expansion cost is
 # vocabulary-sized, never corpus-sized (the scale property real BPE
@@ -5758,6 +5811,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_tfidf": q_docs_tfidf,
     "docs_bpe_pairs": q_docs_bpe_pairs,
     "docs_winnowing": q_docs_winnowing,
+    "docs_winnowing_pairs": q_docs_winnowing_pairs,
     "docs_bloom_dedup": q_docs_bloom_dedup,
     "emb_hard_negatives": q_emb_hard_negatives,
     "docs_simhash_pairs": q_docs_simhash_pairs,
@@ -5889,6 +5943,7 @@ ORACLES: dict[str, str] = {
     "docs_tfidf": DOCS_TFIDF_SQL,
     "docs_bpe_pairs": DOCS_BPE_PAIRS_SQL,
     "docs_winnowing": DOCS_WINNOWING_SQL,
+    "docs_winnowing_pairs": DOCS_WINNOWING_PAIRS_SQL,
     "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
     "docs_simhash_pairs": DOCS_SIMHASH_PAIRS_SQL,
