@@ -4172,6 +4172,62 @@ def q_docs_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.tfidf_topk(_read(spark, sf_dir, "documents"), "doc_id", "text", k=3)
 
 
+# Corpus data card: the one-row summary a dataset release ships with
+# (counts, token/char volume, exact-dup rate, field cardinalities). One
+# full-scan aggregation, every term map-side combinable; the dup count
+# reuses the exact-dedup hash. At 100 TB this is a single pass.
+DOCS_CORPUS_REPORT_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, lang, source,
+    CASE WHEN text IS NOT NULL THEN md5(text) END AS h,
+    CASE WHEN text IS NOT NULL THEN
+      len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                      w -> w <> ''))
+    ELSE 0 END AS toks,
+    coalesce(length(text), 0) AS chars
+  FROM documents
+)
+SELECT
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+  CAST(sum(toks) AS BIGINT) AS total_tokens,
+  CAST(sum(chars) AS BIGINT) AS total_chars,
+  CAST(count(h) - count(DISTINCT h) AS BIGINT) AS n_exact_dup_docs,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM t
+"""
+
+
+def q_docs_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card summary row for a corpus release: volume, null rate,
+    exact-duplicate count (rows beyond their hash's first), and field
+    cardinalities — one map-side-combinable aggregation pass."""
+    d = _read(spark, sf_dir, "documents")
+    toks = F.when(
+        F.col("text").isNotNull(),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim("text")), r"\s+"), lambda w: w != ""
+            )
+        ),
+    ).otherwise(F.lit(0))
+    h = F.when(F.col("text").isNotNull(), F.md5(F.col("text").cast("binary")))
+    t = d.select(
+        "text", "lang", "source", h.alias("h"), toks.alias("toks"),
+        F.coalesce(F.length("text"), F.lit(0)).alias("chars"),
+    )
+    return t.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("text").isNull().cast("int")).cast("bigint").alias("n_null_text"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        (F.count("h") - F.countDistinct("h")).cast("bigint").alias("n_exact_dup_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
 # Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
 # algorithm): per-window minimum of the word-3-gram hash sequence, w=4 —
 # any shared 6-word run between two documents shares a fingerprint while
@@ -5810,6 +5866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lm_score": q_docs_lm_score,
     "docs_tfidf": q_docs_tfidf,
     "docs_bpe_pairs": q_docs_bpe_pairs,
+    "docs_corpus_report": q_docs_corpus_report,
     "docs_winnowing": q_docs_winnowing,
     "docs_winnowing_pairs": q_docs_winnowing_pairs,
     "docs_bloom_dedup": q_docs_bloom_dedup,
@@ -5942,6 +5999,7 @@ ORACLES: dict[str, str] = {
     "docs_lm_score": DOCS_LM_SCORE_SQL,
     "docs_tfidf": DOCS_TFIDF_SQL,
     "docs_bpe_pairs": DOCS_BPE_PAIRS_SQL,
+    "docs_corpus_report": DOCS_CORPUS_REPORT_SQL,
     "docs_winnowing": DOCS_WINNOWING_SQL,
     "docs_winnowing_pairs": DOCS_WINNOWING_PAIRS_SQL,
     "docs_bloom_dedup": DOCS_BLOOM_DEDUP_SQL,
