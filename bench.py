@@ -342,6 +342,32 @@ def run_pool(p: int) -> float:
     return time.time() - t0
 
 
+def merge_query_minima(queries: dict) -> None:
+    """Query-only baseline refresh (BENCH_SKIP_SCALING=1 path): update the
+    per-query minima table in place, leaving the committed scaling section
+    — a single-window artifact — untouched. New queries append; existing
+    rows take min(old, new)."""
+    import re as _re
+
+    baseline_path = REPO / "BENCH" / "BASELINE.md"
+    if not baseline_path.exists():
+        return
+    text = baseline_path.read_text()
+    prior: dict[str, float] = {}
+    for line in text.splitlines():
+        m = _re.match(r"\| (\w+) \| ([\d.]+) \|$", line)
+        if m:
+            prior[m.group(1)] = float(m.group(2))
+    merged = dict(prior)
+    for k, v in queries.items():
+        merged[k] = min(v, merged.get(k, v))
+    head, sep, _tail = text.partition("| query | seconds |\n|---|---|\n")
+    if not sep:
+        return
+    rows = "".join(f"| {k} | {v} |\n" for k, v in merged.items())
+    baseline_path.write_text(head + sep + rows)
+
+
 def write_baseline_md(scaling: dict, queries: dict, sf_dir: str) -> None:
     import re as _re
 
@@ -487,6 +513,8 @@ def main() -> None:
         top = max(scaling["configs"].values(), key=lambda c: c["cores"])
         result["cdc_events_per_sec"] = top["events_per_sec"]
         write_baseline_md(scaling, qtimes, SF_DIR)
+    else:
+        merge_query_minima(qtimes)
 
     print(json.dumps(result))
 

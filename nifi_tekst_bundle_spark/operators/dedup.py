@@ -77,10 +77,20 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ------------------------------------------------------------ shingling
 
 
-def word_shingles(text_col: F.Column, k: int = 3) -> F.Column:
-    """Array of word k-grams (space-joined), JVM-side via transform/sequence
-    — the columnar analogue of a shingling loop."""
-    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+def split_words(text_col: F.Column) -> F.Column:
+    """The corpus tokenization convention shared by every shingle path."""
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def word_shingles_from(words: F.Column, k: int = 3) -> F.Column:
+    """Array of word k-grams from a PRE-SPLIT word array.
+
+    Hot-path callers must pass a NAMED column (select the split into an
+    alias first): referencing an inlined split() expression here makes
+    Catalyst re-evaluate the split regex inside every element_at of the
+    HOF lambda — O(shingles·k) splits per doc, measured ~30× slower on
+    the winnowing signature projection and ~3× on minhash signatures at
+    sf0.1."""
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n >= k,
@@ -91,6 +101,14 @@ def word_shingles(text_col: F.Column, k: int = 3) -> F.Column:
             ),
         ),
     ).otherwise(F.array(F.concat_ws(" ", F.array_join(words, " "))))
+
+
+def word_shingles(text_col: F.Column, k: int = 3) -> F.Column:
+    """Array of word k-grams (space-joined), JVM-side via transform/sequence
+    — the columnar analogue of a shingling loop. Convenience form for
+    small/candidate-pruned inputs; hot paths should two-step through
+    :func:`split_words` + :func:`word_shingles_from` (see there)."""
+    return word_shingles_from(split_words(text_col), k)
 
 
 # ------------------------------------------------------------ minhash
@@ -148,11 +166,18 @@ def minhash_signature(
     (pmod-reduced into [0, P) — pmod, not %, because xxhash64 is signed);
     ``'oracle'`` uses the md5-prefix hash DuckDB reproduces bit-for-bit.
     Same plan, same mix constants; only the base-hash values differ.
+
+    The word split is materialized as a named column before the shingle
+    lambda (see word_shingles_from — an inlined split re-runs per
+    element_at; this two-step measured 0.27 s vs 0.85 s at sf0.1).
     """
     _check_mode(hash_mode)
-    sh = word_shingles(F.col(text_col), k)
+    wd = df.select(
+        F.col(id_col), split_words(F.col(text_col)).alias("_wrd")
+    )
+    sh = word_shingles_from(F.col("_wrd"), k)
     base = F.transform(sh, lambda s: F.pmod(hash64(s, hash_mode), F.lit(MH_P)))
-    hb = df.select(F.col(id_col), base.alias("_mh_base"))
+    hb = wd.select(F.col(id_col), base.alias("_mh_base"))
     def _mix(a: int, b: int):
         # separate factory: pyspark infers the HOF arity from the lambda's
         # parameter count, so defaulted captures (lambda x, a=a, b=b: ...)
@@ -903,18 +928,22 @@ def span_dedup(
     from whole-item identity to intra-document spans.
     """
     _check_mode(hash_mode)
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.size(words)
+    # named word column before the gram lambda — an inlined split() would
+    # re-run the regex per element_at inside the HOF (O(grams·k) splits
+    # per doc; see the same fix in winnow_fingerprints, measured ~30×)
+    wd = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    ).filter(F.size("_w") >= k)
     gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+        " ",
+        *[F.element_at(F.col("_w"), (i + j + 1).cast("int")) for j in range(k)],
     )
-    gh_arr = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k), lambda i: hash64(gram(i), hash_mode)
-        ),
-    )  # docs shorter than k words -> NULL array -> posexplode drops them
-    grams = df.select(
+    gh_arr = F.transform(
+        F.sequence(F.lit(0), F.size("_w") - k),
+        lambda i: hash64(gram(i), hash_mode),
+    )  # docs shorter than k words are filtered above (no k-grams)
+    grams = wd.select(
         F.col(id_col), F.posexplode(gh_arr).alias("pos", "_gh")
     )
     repeated = (
@@ -1158,51 +1187,76 @@ def winnow_fingerprints(
     rule just pins determinism for the oracle).
 
     Returns (id, pos, fp) — pos is the selected gram's word index.
-    Plan: pure narrow fold (per-row nested aggregate over the row's own
-    hash array, O(grams·w) with w small), NO shuffle — fingerprint
-    extraction runs at scan speed; downstream matching joins on fp are
-    bounded by the ~2/(w+1) selection density. Docs with fewer than k
-    words produce no fingerprints (NULL gram array); docs with fewer
-    than w grams yield the single whole-prefix window min.
+
+    Plan: gram hashes are a narrow projection (one hash per gram), then
+    posexplode + ONE doc-keyed sliding window computes every window's
+    lexicographic-(value, pos) min as ``min(struct(h, pos))`` over
+    ``ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`` — struct ordering IS
+    the winnowing rule, and the window min is O(grams) with native
+    codegen. Rows whose window would hang past the last gram are
+    filtered (``pos ≤ max(n_grams − w, 0)``), which also leaves short
+    docs (< w grams) exactly their single whole-prefix window. One
+    shuffle on the doc id (narrow 3-column rows) + the distinct.
+    Measured at sf0.1 (5000 docs, local[32], min of 3): 1.02 s vs
+    19.3 s for the original per-window nested-``aggregate`` fold — see
+    the expression-placement comments in the body for where those 19 s
+    actually went (inlined split re-evaluation and a pushed-down
+    inferred filter re-running the hash transform), they were NOT
+    inherent to the fold shape. Docs with fewer than k words produce no
+    fingerprints.
     """
     _check_mode(hash_mode)
     if w < 1:
         raise ValueError(f"window w must be >= 1, got {w}")
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.size(words)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
-    )
-    gh = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k), lambda i: hash64(gram(i), hash_mode)
+    # Expression-placement rules this formulation obeys (each violation
+    # was measured, all at sf0.1):
+    # 1. the word array is a NAMED column before any lambda references it
+    #    — an inlined split() re-runs the regex inside every element_at
+    #    of a HOF (16.9 s vs 0.56 s for the signature projection alone);
+    # 2. the EXPLODED expression is the cheap position sequence, not the
+    #    hash array — InferFiltersFromGenerate infers size()>0/isnotnull
+    #    on the generator child and pushes them below the project with
+    #    the child expression substituted, so a hash-array generator
+    #    re-evaluates the whole md5 transform (with splits re-inlined)
+    #    twice per row in the pushed Filter (9.9 s for the explode stage
+    #    vs 0.6 s this way);
+    # 3. the gram hash is computed per exploded row from the carried _w
+    #    ATTRIBUTE (one md5 per gram, split once per doc; Generate +
+    #    Project fuse in whole-stage codegen so the duplicated word
+    #    array never materializes).
+    wd = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+    ).filter(F.size("_w") >= k)
+    g = wd.select(
+        F.col(id_col),
+        F.col("_w"),
+        F.posexplode(F.sequence(F.lit(0), F.size("_w") - k)).alias(
+            "_pos", "_i"
         ),
     )
-    d = df.select(F.col(id_col), gh.alias("_h")).filter(F.col("_h").isNotNull())
-    # per window j: lexicographic (value, pos) min over _h[j .. j+w-1];
-    # windows = max(n_grams - w + 1, 1) so short docs keep one window
-    sel = F.expr(
-        f"""
-        array_distinct(transform(
-          sequence(0, greatest(size(_h) - {w}, 0)),
-          j -> aggregate(
-            sequence(j, least(j + {w} - 1, size(_h) - 1)),
-            struct(CAST(NULL AS BIGINT) AS v, CAST(-1 AS INT) AS p),
-            (acc, i) -> CASE
-              WHEN acc.v IS NULL OR element_at(_h, i + 1) < acc.v
-              THEN struct(element_at(_h, i + 1) AS v, CAST(i AS INT) AS p)
-              ELSE acc END
-          )
-        ))
-        """
+    gram = F.concat_ws(
+        " ",
+        *[
+            F.element_at(F.col("_w"), (F.col("_i") + j + 1).cast("int"))
+            for j in range(k)
+        ],
     )
+    rows = g.select(
+        F.col(id_col), F.col("_pos"), hash64(gram, hash_mode).alias("_gh")
+    )
+    wspec = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
+    sel = F.min(F.struct(F.col("_gh"), F.col("_pos"))).over(wspec)
+    last = F.max("_pos").over(Window.partitionBy(id_col))
     return (
-        d.select(F.col(id_col), F.explode(sel).alias("s"))
+        rows.select(
+            F.col(id_col), F.col("_pos"), sel.alias("_s"), last.alias("_last")
+        )
+        .filter(F.col("_pos") <= F.greatest(F.col("_last") - (w - 1), F.lit(0)))
         .select(
             id_col,
-            F.col("s.p").alias("pos"),
-            F.col("s.v").alias("fp"),
+            F.col("_s._pos").cast("int").alias("pos"),
+            F.col("_s._gh").alias("fp"),
         )
         .distinct()
     )

@@ -4298,6 +4298,10 @@ def q_docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the winnowed (doc, fp) table — distinct per doc, hot fingerprints
     (df > {max_df}) dropped like LSH bucket caps, then one fp-keyed
     self-join whose fan-out is bounded by max_df per key."""
+    # materialize once: the fingerprint scan feeds the df-cap agg, the
+    # semi-join prune, and BOTH self-join sides — without this the
+    # gram-hash + window pipeline runs four times (same localCheckpoint
+    # rationale as dedup._maybe_ckpt's materialize=True mode)
     fp = (
         dedup.winnow_fingerprints(
             _read(spark, sf_dir, "documents"), "doc_id", "text",
@@ -4305,6 +4309,7 @@ def q_docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "fp")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     rare = (
         fp.groupBy("fp")

@@ -400,3 +400,30 @@ def test_maintain_queries_no_cartesian(spark):
         plan = _plan(q(spark, SF))
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_signature_plans_keep_hashing_out_of_filters(spark):
+    """Regression pin for the two expression-placement diseases fixed in
+    r4: (a) InferFiltersFromGenerate pushing the whole hash transform
+    into a Filter (it then re-runs per row — measured 19 s vs 1 s on
+    docs_winnowing at sf0.1), and (b) split() inlined into HOF lambdas.
+    No Filter node in a signature plan may contain the md5/xxhash64
+    gram hash."""
+    from nifi_tekst_bundle_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plans = {
+        "winnow": dedup.winnow_fingerprints(docs, "doc_id", "text"),
+        "winnow_oracle": dedup.winnow_fingerprints(
+            docs, "doc_id", "text", hash_mode="oracle"
+        ),
+        "minhash": dedup.minhash_signature(docs, "doc_id", "text", 4),
+        "span": dedup.span_dedup(docs, "doc_id", "text"),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.splitlines():
+            s = line.strip()
+            if s.startswith(("Filter", "+- Filter", ":- Filter")):
+                assert "md5" not in s and "xxhash64" not in s, (name, s[:200])
