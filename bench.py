@@ -108,6 +108,7 @@ HEADLINE = [
     "docs_winnowing",
     "docs_winnowing_pairs",
     "emb_truncate_renorm",
+    "events_rate_anomaly",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

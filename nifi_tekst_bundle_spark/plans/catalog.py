@@ -631,6 +631,82 @@ def q_events_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ingest-rate anomaly detection (pipeline health monitoring): hourly
+# per-type event counts z-scored against that type's own window
+# distribution. All statistics fold EXACT integer sums (count, sum(c),
+# sum(c*c) are bigints — no float-accumulation order sensitivity), so
+# mean/variance/z are deterministic scalar double ops both engines
+# reproduce bit-for-bit. One windowed count + one type-keyed stats agg
+# broadcast back — output is window-cardinality, never event-sized.
+EVENTS_RATE_ANOMALY_SQL = """
+WITH w AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(n_events) AS BIGINT) AS s,
+         CAST(sum(n_events * n_events) AS BIGINT) AS ss
+  FROM w GROUP BY event_type
+)
+SELECT event_type, window_start, n_events,
+  round(z, 6) AS z, abs(z) >= 2.0 AS is_anomaly
+FROM (
+  SELECT w.event_type, w.window_start, w.n_events,
+    CASE WHEN ss - CAST(s AS DOUBLE) * s / n_windows > 0
+         THEN (w.n_events - CAST(s AS DOUBLE) / n_windows)
+              / sqrt((ss - CAST(s AS DOUBLE) * s / n_windows)
+                     / (n_windows - 1))
+         ELSE 0.0 END AS z
+  FROM w JOIN stats USING (event_type)
+  WHERE n_windows >= 3
+)
+"""
+
+
+def q_events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly ingest-rate z-scores per event type (the consumer-side
+    "did the producer stall or flood" monitor). Exact-integer moment
+    sums make the float math deterministic; the stats table is
+    type-cardinality (broadcast), the output window-cardinality."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("window_start")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    stats = w.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.sum("n_events").cast("bigint").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_windows")
+    var_num = (
+        F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n_windows")
+    )
+    # zero-variance types (perfectly steady rate) get z = 0, never a
+    # divide-by-zero (ANSI mode errors on double x/0 too)
+    z = F.when(
+        var_num > 0,
+        (F.col("n_events") - mean)
+        / F.sqrt(var_num / (F.col("n_windows") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        w.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n_windows") >= 3)
+        .select(
+            "event_type",
+            "window_start",
+            "n_events",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) >= 2.0).alias("is_anomaly"),
+        )
+    )
+
+
 CDC_LINEAGE_SQL = f"""
 WITH ev AS ({_EV_SQL_VALID})
 SELECT batch_id,
@@ -5789,6 +5865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_lineage_rollup": q_cdc_lineage_rollup,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "events_time_windows": q_events_time_windows,
+    "events_rate_anomaly": q_events_rate_anomaly,
     "q1_pricing_summary": q_pricing_summary,
     "top_parts_by_revenue": q_top_parts_by_revenue,
     "validation_aggregate": q_validation_aggregate,
@@ -5920,6 +5997,7 @@ ORACLES: dict[str, str] = {
     "cdc_lineage_rollup": CDC_LINEAGE_SQL,
     "cdc_schema_evolution": CDC_EVOLUTION_SQL,
     "events_time_windows": EVENTS_TIME_WINDOWS_SQL,
+    "events_rate_anomaly": EVENTS_RATE_ANOMALY_SQL,
     "q1_pricing_summary": Q1_SQL,
     "top_parts_by_revenue": TOP_PARTS_SQL,
     "validation_aggregate": VALIDATION_AGG_SQL,

@@ -319,3 +319,50 @@ def test_bpe_learn_stops_when_no_pair_repeats(spark):
     from nifi_tekst_bundle_spark.operators import lm
 
     assert lm.bpe_learn(df, "text", n_merges=5) == []
+
+
+# ------------------------------------------------------ rate anomaly
+
+
+def test_rate_anomaly_flags_seeded_spike(spark):
+    """A constructed 10x traffic spike in one hour must be the (only)
+    anomalous window for its type; steady types flag nothing."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2026, 1, 1)
+    for h in range(8):
+        n = 100 if h != 5 else 1000  # spike hour
+        for i in range(n):
+            rows.append(("click", base + dt.timedelta(hours=h, seconds=i % 3000)))
+        for i in range(50):  # steady type
+            rows.append(("view", base + dt.timedelta(hours=h, seconds=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    from pyspark.sql import functions as F2
+
+    w = df.groupBy(
+        "event_type", F2.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F2.count("*").cast("bigint").alias("n_events"))
+    stats = w.groupBy("event_type").agg(
+        F2.count("*").cast("bigint").alias("n_windows"),
+        F2.sum("n_events").cast("bigint").alias("s"),
+        F2.sum(F2.col("n_events") * F2.col("n_events")).cast("bigint").alias("ss"),
+    )
+    mean = F2.col("s").cast("double") / F2.col("n_windows")
+    var_num = (
+        F2.col("ss") - F2.col("s").cast("double") * F2.col("s") / F2.col("n_windows")
+    )
+    z = F2.when(
+        var_num > 0,
+        (F2.col("n_events") - mean)
+        / F2.sqrt(var_num / (F2.col("n_windows") - 1)),
+    ).otherwise(F2.lit(0.0))
+    out = (
+        w.join(stats, "event_type")
+        .select("event_type", "window_start", "n_events",
+                (F2.abs(z) >= 2.0).alias("is_anomaly"))
+        .collect()
+    )
+    anomalies = {(r["event_type"], r["window_start"].hour)
+                 for r in out if r["is_anomaly"]}
+    assert anomalies == {("click", 5)}
