@@ -554,3 +554,90 @@ def test_winnowing_short_docs(spark):
     out = dedup.winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
     assert {r["doc_id"] for r in out} == {2}
     assert len(out) == 1  # 2 grams -> one window -> one selection
+
+
+def test_winnowing_matches_serial_reference_on_random_corpora(spark):
+    """Distributed winnowing == a direct serial implementation of the
+    Schleimer et al. algorithm (same hash, same leftmost-tie rule) on
+    seeded pseudo-random corpora — catches window/boundary bugs the
+    fixture oracle might not cover."""
+    import hashlib
+    import random
+
+    k, w = 3, 4
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(12)]  # small vocab -> repeats/ties
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["doc_id"], r["pos"], r["fp"])
+            for r in dedup.winnow_fingerprints(
+                df, "doc_id", "text", k=k, w=w, hash_mode="oracle"
+            ).collect()
+        }
+        want = set()
+        for doc_id, text in rows:
+            words = [x for x in text.strip().lower().split()]
+            if len(words) < k:
+                continue
+            hs = []
+            for i in range(len(words) - k + 1):
+                gram = " ".join(words[i : i + k])
+                hs.append(int(hashlib.md5(gram.encode()).hexdigest()[:15], 16))
+            n = len(hs)
+            for j in range(max(n - w, 0) + 1):
+                win = hs[j : j + w]
+                v = min(win)
+                p = j + win.index(v)  # leftmost tie
+                want.add((doc_id, p, v))
+        assert got == want, f"seed {seed}"
+
+
+def test_bpe_learn_matches_serial_on_random_corpora(spark):
+    from nifi_tekst_bundle_spark.operators import lm
+    import collections
+    import random
+
+    for seed in (0, 1):
+        rng = random.Random(seed)
+        alphabet = "abcde"
+        rows = [
+            (i, " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 8))
+            ))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, ["i", "text"])
+        merges = lm.bpe_learn(df, "text", n_merges=3)
+
+        vocab = collections.Counter(
+            wd for _, t in rows for wd in t.strip().lower().split() if wd
+        )
+        seqs = {wd: list(wd) for wd in vocab}
+        expected = []
+        for _ in range(3):
+            c = collections.Counter()
+            for wd, f in vocab.items():
+                s = seqs[wd]
+                for a, b in zip(s, s[1:]):
+                    c[(a, b)] += f
+            if not c:
+                break
+            (a, b), nbest = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            if nbest < 2:
+                break
+            expected.append((a, b))
+            for wd in seqs:
+                out = []
+                for sym in seqs[wd]:
+                    if out and out[-1] == a and sym == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(sym)
+                seqs[wd] = out
+        assert merges == expected, f"seed {seed}"
