@@ -1031,7 +1031,7 @@ def bloom_novelty(
     text_col: str,
     m: int = 4096,
     k: int = 3,
-    hash_mode: str = "oracle",
+    hash_mode: str = "production",
 ) -> DataFrame:
     """Bloom-filter novelty check of ``incoming`` documents against a
     ``reference`` corpus — the constant-memory cross-shard exact-dedup
@@ -1048,9 +1048,11 @@ def bloom_novelty(
     positives are inherent Bloom semantics and fully DETERMINISTIC here:
     both engines derive positions from the same md5 prefixes (oracle
     mode: position_j = ('0x'||substr(md5(text), 1+8j, 8))::int % m), so
-    the oracle reproduces every collision bit-for-bit. Production mode
-    swaps in xxhash64(text, j) — one JVM intrinsic per probe instead of
-    md5 (see the module's dual-backend note).
+    the oracle reproduces every collision bit-for-bit. The default is
+    ``'production'`` like every other signature operator in this module
+    (xxhash64(text, j) — one JVM intrinsic per probe instead of md5);
+    pass ``hash_mode='oracle'`` explicitly for DuckDB bit-parity (the
+    driver-checked ``docs_bloom_dedup`` row does).
 
     Returns (id_col, n_hits, verdict): verdict = 'seen' iff all k
     positions are set — maybe-duplicate (send to exact verification);

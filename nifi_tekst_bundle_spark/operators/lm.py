@@ -291,3 +291,103 @@ def bpe_learn(
 def _sql_str(s: str) -> str:
     """SQL single-quoted string literal with escaping."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_fold(syms_col: str, left: str, right: str) -> F.Column:
+    """One BPE merge applied to a symbol-array column: left-to-right fold
+    joining every non-overlapping (left, right) occurrence greedily — the
+    SAME rewrite bpe_learn applies to its vocabulary during training, so
+    encode(word) reproduces the training-time symbol sequence. A merged
+    symbol (left+right) can never immediately re-merge as the LEFT of the
+    same pair within the pass (left+right ≠ left unless right is empty),
+    which makes the fold exactly "merge all non-overlapping occurrences
+    left-to-right" — the standard single-pass BPE application."""
+    return F.expr(
+        """
+        aggregate(
+          {S},
+          CAST(array() AS array<string>),
+          (acc, s) -> CASE
+            WHEN size(acc) > 0 AND element_at(acc, -1) = {L} AND s = {R}
+            THEN concat(slice(acc, 1, size(acc) - 1), array({LR}))
+            ELSE concat(acc, array(s)) END
+        )
+        """.format(
+            S=syms_col, L=_sql_str(left), R=_sql_str(right),
+            LR=_sql_str(left + right),
+        )
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a learned BPE merge list — the missing
+    half of the trainer→tokenizer→packer pipeline (:func:`bpe_learn`
+    produces ``merges``; this applies them), closing VERDICT r4 #3.
+
+    Returns one row per non-empty document:
+    (id_col, tokens array<string>, n_tokens, n_merged) where ``tokens``
+    is the document's BPE token stream in document order and ``n_merged``
+    counts multi-character tokens (those a merge produced).
+
+    Semantics: merges apply strictly in learned-rank order, one greedy
+    non-overlapping left-to-right pass each (:func:`_merge_fold`) — the
+    exact rewrite the trainer used, so encoding a training word yields
+    the trainer's final symbol sequence for it. Deterministic and
+    oracle-reproducible (catalog.DOCS_BPE_ENCODE_SQL replays the same
+    chain via delimiter-wrapped string rewriting).
+
+    Scale shape — why real BPE tokenizers scale: the merge chain runs on
+    the DISTINCT-WORD vocabulary (one groupBy collapses 100 TB of text
+    to a vocabulary-sized table; each of the M merges is a narrow
+    per-row array fold over it — cost ∝ vocab × M, corpus-independent).
+    The corpus is scanned once to (id, pos, word) triples and joins the
+    encoded vocabulary on the word key — vocabulary-sized, AQE
+    broadcasts it — then one per-document sort-fold assembles the
+    stream. The merge list itself is plan metadata (literals), the
+    "broadcast merge ranks" of a cluster deployment.
+    """
+    d = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _words(F.col(text_col)).alias("words")
+    )
+    word_structs = F.transform(
+        F.sequence(F.lit(1), F.size("words")),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.element_at(F.col("words"), i.cast("int")).alias("word"),
+        ),
+    )
+    doc_words = (
+        d.filter(F.size("words") >= 1)
+        .select(F.col(id_col), F.explode(word_structs).alias("p"))
+        .select(id_col, "p.pos", "p.word")
+    )
+    vocab = doc_words.select("word").distinct().select(
+        "word", F.split(F.col("word"), "").alias("syms")
+    )
+    for left, right in merges:
+        vocab = vocab.select("word", _merge_fold("syms", left, right).alias("syms"))
+    enc = (
+        doc_words.join(vocab.withColumnRenamed("syms", "toks"), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "toks"))),
+                    lambda x: x["toks"],
+                )
+            ).alias("tokens")
+        )
+    )
+    return enc.select(
+        F.col(id_col),
+        "tokens",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.size(F.filter("tokens", lambda t: F.length(t) > 1))
+        .cast("bigint")
+        .alias("n_merged"),
+    )

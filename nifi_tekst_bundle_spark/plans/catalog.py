@@ -4437,6 +4437,90 @@ def q_docs_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.bpe_pair_counts(_read(spark, sf_dir, "documents"), "text", top_k=50)
 
 
+# Frozen merge list for the encode row: learned ONCE by lm.bpe_learn
+# (n_merges=8) over the sf0.001 documents fixture, then fixed so the
+# DuckDB oracle is a static string and the query is sf-independent (the
+# fixed-hyperplane LSH precedent). Note merge 8 consumes merge 1's output
+# symbol ('p'+'ar') — the chain exercises multi-char symbol merging. The
+# live learn→encode loop is property-tested against a serial reference in
+# tests/test_analytics_ops.py.
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+    ("s", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+]
+
+
+def q_docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization of the corpus with a fixed learned merge list
+    (lm.bpe_encode — trainer→TOKENIZER→packer now closed, VERDICT r4 #3).
+    Per document: token count, merged-token count, and the md5 of the
+    space-joined token stream in document order — a bit-exact transcript
+    of the tokenization that the oracle reproduces via delimiter-wrapped
+    string rewriting (unit-replace ≡ the engine's array fold; see
+    lm._merge_fold). Scale shape: the merge chain runs on the
+    distinct-word vocabulary, the corpus is scanned once and joins the
+    encoded vocabulary on the word key."""
+    enc = lm.bpe_encode(
+        _read(spark, sf_dir, "documents"), BPE_FIXED_MERGES
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_merged",
+        F.md5(F.array_join("tokens", " ").cast("binary")).alias("tok_hash"),
+    )
+
+
+def _bpe_encode_sql(merges: list[tuple[str, str]]) -> str:
+    unit = lambda s: "||".join(  # noqa: E731
+        ["chr(30)", "'" + s.replace("'", "''") + "'", "chr(31)"]
+    )
+    seq = (
+        "array_to_string(list_transform(regexp_split_to_array(word, ''),"
+        " c -> chr(30) || c || chr(31)), '')"
+    )
+    for left, right in merges:
+        seq = (
+            f"replace({seq}, {unit(left)} || {unit(right)}, "
+            f"{unit(left + right)})"
+        )
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                w -> w <> '') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (
+  SELECT doc_id, generate_subscripts(words, 1) AS pos, unnest(words) AS word
+  FROM base WHERE len(words) >= 1
+),
+v AS (SELECT DISTINCT word FROM w),
+encv AS (SELECT word, {seq} AS seq FROM v),
+tokv AS (
+  SELECT word,
+    ltrim(rtrim(replace(seq, chr(31) || chr(30), ' '), chr(31)), chr(30))
+      AS tok_str
+  FROM encv
+),
+doc AS (
+  SELECT w.doc_id,
+    string_agg(t.tok_str, ' ' ORDER BY w.pos) AS stream
+  FROM w JOIN tokv t USING (word)
+  GROUP BY w.doc_id
+)
+SELECT doc_id,
+  CAST(len(string_split(stream, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(string_split(stream, ' '), t -> len(t) > 1))
+       AS BIGINT) AS n_merged,
+  md5(stream) AS tok_hash
+FROM doc
+"""
+
+
+DOCS_BPE_ENCODE_SQL = _bpe_encode_sql(BPE_FIXED_MERGES)
+
+
 def _bloom_bits_sql(text_expr: str, m: int) -> str:
     return ", ".join(
         f"('0x' || substr(md5({text_expr}), {1 + 8 * j}, 8))::INT64 % {m}"
@@ -5850,6 +5934,58 @@ def _docs_keyword_search_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# round-5: file-stats data skipping
+# --------------------------------------------------------------------------
+
+
+def q_cdc_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping (VERDICT r4 #1, the biggest remaining
+    100-TB scan lever): build the transcripts table through five fenced
+    commits, ``optimize_layout`` it into 4 range-split files per bucket
+    sorted by ``turn_idx`` (each file's manifest min/max then covers a
+    disjoint turn slice), and range-scan the opening turns with
+    ``visible(prune={"turn_idx": (0, 5)})`` — the "prompt prefixes of
+    every conversation" read. The scan opens ~2 of 4 files per bucket
+    instead of the whole bucket (asserted here: a zero-skip scan fails
+    the row loudly rather than silently reporting an unpruned read as
+    pruned); the oracle replays the full log and filters, so the green
+    row proves skipping changes WHAT IS READ, never the answer. This is
+    the reference's prefix-scoped listing
+    (DeleteAllS3ObjectsByPrefix.kt:115-117) completed at file
+    granularity; the same ``prune=`` path serves lsn-range CDC catch-ups
+    (``_lsn_up``) and event-time scans (``ts``)."""
+    from ..table.lake import LakeTable
+
+    events = derive_change_events(spark, sf_dir).persist()
+    tmp = tempfile.mkdtemp(prefix="cdc_prune_")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "table"), payload_cols=CDC_PAYLOAD, n_buckets=8
+    )
+    for b in ["b00", "b01", "b02", "b03", "b04"]:
+        table.merge_batch(
+            spark,
+            events.filter(F.col("batch_id") == b),
+            fence_key=f"batch-{b}",
+            batch_id=b,
+        )
+    events.unpersist()
+    table.optimize_layout(spark, sort_cols=("turn_idx",), files_per_bucket=4)
+    vis = table.visible(spark, prune={"turn_idx": (0, 5)})
+    scan = table.last_scan
+    if not scan or scan["files_skipped"] == 0:
+        raise AssertionError(
+            f"cdc_pruned_scan: expected file skipping to engage, scan={scan}"
+        )
+    return vis
+
+
+CDC_PRUNED_SCAN_SQL = f"""
+WITH final AS ({CDC_FINAL_STATE_SQL})
+SELECT * FROM final WHERE turn_idx BETWEEN 0 AND 5
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5976,6 +6112,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_split_leakage": q_conv_split_leakage,
     "conv_sig_maintain": q_conv_sig_maintain,
     "cdc_text_churn": q_cdc_text_churn,
+    # round-5 additions (newest → first in the driver window after the
+    # reversal below)
+    "cdc_pruned_scan": q_cdc_pruned_scan,
+    "docs_bpe_encode": q_docs_bpe_encode,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -5983,6 +6123,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_simhash_prod": q_docs_simhash_prod,
     "docs_incremental_dedup_prod": q_docs_incremental_dedup_prod,
     "docs_span_dedup_prod": q_docs_span_dedup_prod,
+}
+
+# Driver-coverage hygiene (VERDICT r4 #9): the driver's CORRECTNESS sample
+# checks a prefix window of queries(), so surface the LEAST-validated
+# entries first — the literal above is ordered oldest→newest, and newer
+# rounds' queries have the fewest driver-checked rounds behind them.
+# Reversing puts them in the driver's window; the full sweep
+# (scripts/check_driver_contract.py) still covers every entry.
+QUERIES = dict(reversed(list(QUERIES.items())))
+# ...except the *_prod rows-only variants (no oracle, weakest driver check
+# value) — keep those at the back of the window
+_prod_keys = [k for k in QUERIES if k.endswith("_prod")]
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k not in _prod_keys},
+    **{k: QUERIES[k] for k in _prod_keys},
 }
 
 ORACLES: dict[str, str] = {
@@ -6110,4 +6265,6 @@ ORACLES: dict[str, str] = {
     "conv_split_leakage": CONV_SPLIT_LEAKAGE_SQL,
     "conv_sig_maintain": CONV_SIG_MAINTAIN_SQL,
     "cdc_text_churn": CDC_TEXT_CHURN_SQL,
+    "cdc_pruned_scan": CDC_PRUNED_SCAN_SQL,
+    "docs_bpe_encode": DOCS_BPE_ENCODE_SQL,
 }

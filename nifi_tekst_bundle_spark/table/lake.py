@@ -42,7 +42,7 @@ import re
 import shutil
 import time as _time
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -280,9 +280,66 @@ class LakeTable:
 
     # ---------- IO ----------
 
+    # Columns whose per-file min/max are recorded in the manifest's file
+    # entries at write time (when present in the schema) — the Iceberg
+    # file-statistics analogue. `turn_idx` serves key-range scans (the
+    # within-conversation sort key), `_lsn_up` serves CDC catch-ups
+    # ("keys last touched at/after lsn X"), `ts` serves event-time range
+    # scans. Files written before stats existed simply lack the entry and
+    # are never pruned (sound by construction).
+    STATS_COLS = ("turn_idx", "_lsn_up", "_lsn_del", "ts")
+
+    @staticmethod
+    def _file_stats(path: str, want: tuple[str, ...]) -> dict:
+        """Per-file min/max for ``want`` columns, read from the parquet
+        FOOTER (metadata only, no data pages). Timestamps normalize to
+        epoch microseconds (ints are JSON-manifest-safe). Runs driver-side
+        over the files of ONE commit — bounded by touched buckets ×
+        files_per_bucket, the same per-commit metadata cost class as the
+        manifest write itself; a cluster deployment would fold this into
+        the executor-side file write (collecting footer stats with the
+        task result) with identical output."""
+        import datetime as _dt
+
+        import pyarrow.parquet as _pq
+
+        def _norm(v):
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                epoch = _dt.datetime(1970, 1, 1)
+                return int((v - epoch).total_seconds() * 1_000_000)
+            if isinstance(v, bool):
+                return int(v)
+            if isinstance(v, (int, float, str)):
+                return v
+            return None
+
+        meta = _pq.read_metadata(path)
+        mins: dict = {}
+        maxs: dict = {}
+        want_set = set(want)
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name not in want_set:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = _norm(st.min), _norm(st.max)
+                if mn is None or mx is None:
+                    continue
+                mins[name] = mn if name not in mins else min(mins[name], mn)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+        return {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+
     def _write_register_files(
         self, regs: DataFrame, n_buckets: int, tag: str,
         sort_cols: tuple[str, ...] = (),
+        split_ranges: int = 1,
     ) -> list[dict]:
         """Write register rows as one parquet file per touched bucket,
         directly into a unique per-commit directory under data/ — write
@@ -295,16 +352,42 @@ class LakeTable:
         the reference's S3 world and serializes on the driver)."""
         commit_id = uuid.uuid4().hex[:12]
         out = os.path.join(self.data_dir, f"{tag}-{commit_id}")
-        bucketed = regs.withColumn(BUCKET_COL, bucket_expr(n_buckets)).repartition(
-            BUCKET_COL
-        )
-        if sort_cols:
-            # within-task sort (no extra shuffle): each per-bucket output
-            # file comes out in key order, so its parquet row-group min/max
-            # stats are disjoint key ranges — point/range reads skip row
-            # groups instead of scanning the bucket (see optimize_layout)
-            bucketed = bucketed.sortWithinPartitions(BUCKET_COL, *sort_cols)
-        bucketed.write.partitionBy(BUCKET_COL).parquet(out)
+        bucketed = regs.withColumn(BUCKET_COL, bucket_expr(n_buckets))
+        if split_ranges > 1 and sort_cols:
+            # range-split layout (optimize_layout files_per_bucket > 1):
+            # ONE range shuffle on (bucket, sort_cols) so each bucket comes
+            # out as ~split_ranges files whose sort-key ranges are DISJOINT
+            # — their manifest min/max stats then prune range scans to a
+            # fraction of the bucket (file-level skipping, not just
+            # row-group skipping). Partition boundaries may straddle
+            # buckets; the partitionBy write re-splits by bucket dir, and
+            # stats are computed from the files actually written.
+            bucketed = bucketed.repartitionByRange(
+                split_ranges * n_buckets, F.col(BUCKET_COL),
+                *[F.col(c) for c in sort_cols]
+            ).sortWithinPartitions(BUCKET_COL, *sort_cols)
+        else:
+            bucketed = bucketed.repartition(BUCKET_COL)
+            if sort_cols:
+                # within-task sort (no extra shuffle): each per-bucket
+                # output file comes out in key order, so its parquet
+                # row-group min/max stats are disjoint key ranges —
+                # point/range reads skip row groups instead of scanning
+                # the bucket (see optimize_layout)
+                bucketed = bucketed.sortWithinPartitions(BUCKET_COL, *sort_cols)
+        # write timestamps as TIMESTAMP_MICROS, not Spark's legacy INT96:
+        # INT96 columns carry NO parquet min/max statistics, which would
+        # silently disable ts-range file skipping (and INT96 is deprecated
+        # by the parquet spec). Set/restore around the write — reads are
+        # unaffected either way.
+        spark = regs.sparkSession
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        prev_ts_type = spark.conf.get(ts_conf)
+        spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+        try:
+            bucketed.write.partitionBy(BUCKET_COL).parquet(out)
+        finally:
+            spark.conf.set(ts_conf, prev_ts_type)
         files: list[dict] = []
         for entry in sorted(os.listdir(out)):
             mm = re.match(rf"{BUCKET_COL}=(\d+)$", entry)
@@ -317,7 +400,8 @@ class LakeTable:
                     p = os.path.join(bdir, fn)
                     files.append(
                         {"path": p, "bucket": b, "rows": -1,
-                         "bytes": os.path.getsize(p)}
+                         "bytes": os.path.getsize(p),
+                         "stats": self._file_stats(p, self.STATS_COLS)}
                     )
         self._warn_if_buckets_oversized(files, n_buckets)
         return files
@@ -360,8 +444,55 @@ class LakeTable:
             ]
         )
 
+    @staticmethod
+    def _prune_by_stats(
+        files: list[dict], prune: dict | None
+    ) -> tuple[list[dict], int]:
+        """File skipping on manifest min/max stats. ``prune`` maps a
+        column name to an inclusive (lo, hi) range (either side may be
+        None for open-ended); a file is skipped only when its recorded
+        stats PROVE the range cannot match (stats-less files — legacy
+        commits, all-null columns — are always read). Rows whose column
+        is NULL can never satisfy a range predicate, so min/max over
+        non-null values is a sound pruning bound. Returns (kept_files,
+        n_skipped)."""
+        if not prune:
+            return files, 0
+        import datetime as _dt
+
+        def _bound(v):
+            # timestamp bounds arrive as datetimes; stats store epoch µs
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return int((v - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+            return v
+
+        prune = {c: (_bound(lo), _bound(hi)) for c, (lo, hi) in prune.items()}
+        kept: list[dict] = []
+        skipped = 0
+        for f in files:
+            stats = f.get("stats") or {}
+            drop = False
+            for col, (lo, hi) in prune.items():
+                rng = stats.get(col)
+                if not rng:
+                    continue
+                mn, mx = rng
+                if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                    drop = True
+                    break
+            if drop:
+                skipped += 1
+            else:
+                kept.append(f)
+        return kept, skipped
+
     def read_registers(
-        self, spark: SparkSession, buckets: set[int] | None = None
+        self,
+        spark: SparkSession,
+        buckets: set[int] | None = None,
+        prune: dict | None = None,
     ) -> DataFrame:
         # The manifest IS the schema authority (Iceberg-style): read with
         # the explicit schema instead of mergeSchema=true, which footer-
@@ -369,10 +500,14 @@ class LakeTable:
         # pass at scale. Parquet schema-on-read fills columns absent from
         # old snapshots (pre-promotion files) with nulls, which the LWW
         # register algebra already treats as "never assigned".
-        return self._read_registers_of(spark, self.manifest(), buckets)
+        return self._read_registers_of(spark, self.manifest(), buckets,
+                                       prune=prune)
 
     def visible(
-        self, spark: SparkSession, cols: list[str] | None = None
+        self,
+        spark: SparkSession,
+        cols: list[str] | None = None,
+        prune: dict | None = None,
     ) -> DataFrame:
         """Visible table state. ``cols`` prunes the read to a payload
         subset: the parquet scan's ReadSchema then carries only the
@@ -380,7 +515,25 @@ class LakeTable:
         a wide promoted schema a text-only consumer (dedup, tokenization)
         reads a fraction of the bytes. Row visibility depends only on
         ``_lsn_up``/``_lsn_del``, so pruning never changes WHICH rows are
-        visible, only which columns come back."""
+        visible, only which columns come back.
+
+        ``prune`` maps columns from :data:`STATS_COLS` to inclusive
+        (lo, hi) ranges (either bound may be None) and is EXACT, not just
+        a hint: the file list is skipped on manifest min/max stats AND the
+        same predicate is re-applied row-level, so
+        ``visible(prune={"turn_idx": (0, 5)})`` ≡
+        ``visible().filter("turn_idx between 0 and 5")`` — the reference's
+        prefix-scoped listing (DeleteAllS3ObjectsByPrefix.kt:115-117)
+        completed at FILE granularity (SURVEY §4): after an
+        ``optimize_layout(sort_cols=..., files_per_bucket=k)`` a range
+        scan opens ~1/k of each bucket instead of all of it. Exactness
+        argument: each key's register lives in exactly ONE HEAD file
+        (merges rewrite whole buckets), a skipped file provably contains
+        no row in range, and NULL values fail any range predicate, so
+        non-null min/max bounds are sound. Register-internal columns
+        (``_lsn_up``: "keys last upserted in this lsn range" — the CDC
+        catch-up scan) filter on the register before visibility; output
+        columns (``turn_idx``, ``ts``) filter on the visible row."""
         m = self.manifest()
         payload = list(m.payload_cols)
         if cols is not None:
@@ -391,10 +544,35 @@ class LakeTable:
                     f"table has {payload}"
                 )
             payload = [c for c in payload if c in set(cols)]
-        return lww.visible(
-            self._read_registers_of(spark, m, payload_override=payload),
-            payload,
+        if prune:
+            bad = set(prune) - set(self.STATS_COLS)
+            if bad:
+                raise ValueError(
+                    f"prune columns {sorted(bad)} have no recorded stats; "
+                    f"supported: {list(self.STATS_COLS)}"
+                )
+        regs = self._read_registers_of(
+            spark, m, payload_override=payload, prune=prune
         )
+        reg_level = {"_lsn_up", "_lsn_del"}
+        if prune:
+            for c, (lo, hi) in prune.items():
+                if c not in reg_level:
+                    continue
+                if lo is not None:
+                    regs = regs.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    regs = regs.filter(F.col(c) <= F.lit(hi))
+        vis = lww.visible(regs, payload)
+        if prune:
+            for c, (lo, hi) in prune.items():
+                if c in reg_level:
+                    continue
+                if lo is not None:
+                    vis = vis.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    vis = vis.filter(F.col(c) <= F.lit(hi))
+        return vis
 
     def lookup(self, spark: SparkSession, conv_id: str) -> DataFrame:
         """Point read: the visible turns of ONE conversation, scanning only
@@ -461,12 +639,23 @@ class LakeTable:
         m: Manifest,
         buckets: set[int] | None = None,
         payload_override: list[str] | None = None,
+        prune: dict | None = None,
     ) -> DataFrame:
-        paths = [
-            f["path"]
+        cand = [
+            f
             for f in m.files
             if buckets is None or f["bucket"] in buckets
         ]
+        kept, skipped = self._prune_by_stats(cand, prune)
+        # observability for tests/operators: what the last scan actually
+        # opened vs what the bucket filter alone would have (the
+        # numFilesRead metric a cluster UI would show)
+        self.last_scan = {
+            "files_candidate": len(cand),
+            "files_read": len(kept),
+            "files_skipped": skipped,
+        }
+        paths = [f["path"] for f in kept]
         payload = (
             list(m.payload_cols)
             if payload_override is None
@@ -840,17 +1029,16 @@ class LakeTable:
             }
 
         kept = [f for f in m.files if f["bucket"] not in touched]
-        new_manifest = Manifest(
+        # dataclasses.replace: unlisted Manifest fields (tags, erase_floor,
+        # any future addition) carry over instead of silently resetting to
+        # defaults — the hand-listed form was a schema-drift hazard
+        new_manifest = _dc_replace(
+            m,
             version=m.version + 1,
             payload_cols=payload_cols,
-            n_buckets=n_buckets,
             files=kept + new_files,
             committed=committed,
-            lineage=m.lineage,
-            dead_letter_files=m.dead_letter_files,
             lsn_watermark=lsn_wm,
-            erase_floor=int(getattr(m, "erase_floor", 0) or 0),
-            tags=dict(getattr(m, "tags", {}) or {}),
         )
         try:
             self._write_manifest(new_manifest)
@@ -1290,23 +1478,18 @@ class LakeTable:
             self.read_registers(spark), m.payload_cols, lsn_watermark
         )
         files = self._write_register_files(regs, m.n_buckets, tag="compact")
-        new_manifest = Manifest(
+        new_manifest = _dc_replace(
+            m,
             version=m.version + 1,
-            payload_cols=m.payload_cols,
-            n_buckets=m.n_buckets,
             files=files,
-            committed=m.committed,
-            lineage=m.lineage,
-            dead_letter_files=m.dead_letter_files,
             lsn_watermark=max(int(getattr(m, "lsn_watermark", 0) or 0), lsn_watermark),
-            erase_floor=int(getattr(m, "erase_floor", 0) or 0),
-            tags=dict(getattr(m, "tags", {}) or {}),
         )
         self._write_manifest(new_manifest)
 
     def optimize_layout(
         self, spark: SparkSession,
         sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        files_per_bucket: int = 1,
     ) -> None:
         """Rewrite every bucket with rows sorted by ``sort_cols``, one
         snapshot commit, no logical change — the Iceberg sort-order /
@@ -1330,9 +1513,22 @@ class LakeTable:
         recorded as ``manifest().sort_order`` for the optimized snapshot;
         later epoch commits append unsorted files again (and reset the
         declaration), exactly like Iceberg sorted files vs later appends.
-        Single-writer operation like vacuum/rebucket/compact."""
+        Single-writer operation like vacuum/rebucket/compact.
+
+        ``files_per_bucket > 1`` additionally RANGE-SPLITS each bucket
+        into that many files along ``sort_cols`` (one range shuffle) so
+        each file's manifest min/max stats cover a disjoint slice of the
+        sort key — the data-skipping layout: a ``visible(prune=...)``
+        range scan then opens ~1/files_per_bucket of every bucket instead
+        of the whole bucket (Iceberg sort + split-by-size, at the
+        granularity this lake tracks). Size it so each file lands near
+        the parquet row-group sweet spot (~128-512 MB at scale)."""
         if not sort_cols:
             raise ValueError("sort_cols must name at least one column")
+        if files_per_bucket < 1:
+            raise ValueError(
+                f"files_per_bucket must be >= 1, got {files_per_bucket}"
+            )
         m = self.manifest()
         key_cols = {"conv_id", "turn_idx"}
         unknown = set(sort_cols) - key_cols - set(m.payload_cols)
@@ -1343,20 +1539,14 @@ class LakeTable:
             )
         regs = self.read_registers(spark)
         files = self._write_register_files(
-            regs, m.n_buckets, tag="optimize", sort_cols=tuple(sort_cols)
+            regs, m.n_buckets, tag="optimize", sort_cols=tuple(sort_cols),
+            split_ranges=files_per_bucket,
         )
         self._write_manifest(
-            Manifest(
+            _dc_replace(
+                m,
                 version=m.version + 1,
-                payload_cols=m.payload_cols,
-                n_buckets=m.n_buckets,
                 files=files,
-                committed=m.committed,
-                lineage=m.lineage,
-                dead_letter_files=m.dead_letter_files,
-                lsn_watermark=int(getattr(m, "lsn_watermark", 0) or 0),
-                erase_floor=int(getattr(m, "erase_floor", 0) or 0),
-                tags=dict(getattr(m, "tags", {}) or {}),
                 sort_order=list(sort_cols),
             )
         )
@@ -1414,18 +1604,7 @@ class LakeTable:
             )
         tags = dict(getattr(m, "tags", {}) or {})
         tags[name] = v
-        new_manifest = Manifest(
-            version=m.version + 1,
-            payload_cols=m.payload_cols,
-            n_buckets=m.n_buckets,
-            files=m.files,
-            committed=m.committed,
-            lineage=m.lineage,
-            dead_letter_files=m.dead_letter_files,
-            lsn_watermark=int(getattr(m, "lsn_watermark", 0) or 0),
-            erase_floor=floor,
-            tags=tags,
-        )
+        new_manifest = _dc_replace(m, version=m.version + 1, tags=tags)
         self._write_manifest(new_manifest)
         return v
 
@@ -1490,15 +1669,10 @@ class LakeTable:
         )
         regs.unpersist()
         kept = [f for f in m.files if f["bucket"] not in affected]
-        new_manifest = Manifest(
+        new_manifest = _dc_replace(
+            m,
             version=m.version + 1,
-            payload_cols=m.payload_cols,
-            n_buckets=n_buckets,
             files=kept + new_files,
-            committed=m.committed,
-            lineage=m.lineage,
-            dead_letter_files=m.dead_letter_files,
-            lsn_watermark=int(getattr(m, "lsn_watermark", 0) or 0),
             erase_floor=m.version + 1,
             tags={
                 k: v
@@ -1601,15 +1775,7 @@ class LakeTable:
         m = self.manifest()
         regs = self.read_registers(spark)
         files = self._write_register_files(regs, n_new, tag=f"rebucket{n_new}")
-        new_manifest = Manifest(
-            version=m.version + 1,
-            payload_cols=m.payload_cols,
-            n_buckets=n_new,
-            files=files,
-            committed=m.committed,
-            lineage=m.lineage,
-            dead_letter_files=m.dead_letter_files,
-            lsn_watermark=int(getattr(m, "lsn_watermark", 0) or 0),
-            erase_floor=int(getattr(m, "erase_floor", 0) or 0),
+        new_manifest = _dc_replace(
+            m, version=m.version + 1, n_buckets=n_new, files=files
         )
         self._write_manifest(new_manifest)

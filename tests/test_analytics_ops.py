@@ -321,13 +321,83 @@ def test_bpe_learn_stops_when_no_pair_repeats(spark):
     assert lm.bpe_learn(df, "text", n_merges=5) == []
 
 
+def _serial_bpe_encode(text: str, merges) -> list[str]:
+    """Serial reference encoder: per word, apply merges in learned order,
+    one greedy non-overlapping left-to-right pass each — the exact
+    semantics of lm._merge_fold and the trainer's vocabulary rewrite."""
+    toks = []
+    for w in text.strip().lower().split():
+        if not w:
+            continue
+        syms = list(w)
+        for left, right in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_encode_matches_serial_reference_on_random_corpora(spark):
+    """learn→encode end-to-end vs the serial reference on deterministic
+    pseudo-random corpora over a small alphabet (dense adjacent-pair
+    repetition — merge-chain collisions, multi-char merges, words that
+    collapse to one token)."""
+    import hashlib
+
+    from nifi_tekst_bundle_spark.operators import lm
+
+    for seed in ["s1", "s2"]:
+        alpha = "abc"
+        words = []
+        for i in range(120):
+            h = hashlib.md5(f"{seed}|{i}".encode()).digest()
+            n = 1 + h[0] % 7
+            words.append("".join(alpha[h[j + 1] % len(alpha)] for j in range(n)))
+        docs = [" ".join(words[i:i + 6]) for i in range(0, 120, 6)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+        )
+        merges = lm.bpe_learn(df, "text", n_merges=6)
+        assert merges  # dense corpus must learn something
+        got = {
+            r["doc_id"]: r for r in lm.bpe_encode(df, merges, "doc_id").collect()
+        }
+        for i, t in enumerate(docs):
+            want = _serial_bpe_encode(t, merges)
+            assert list(got[i]["tokens"]) == want, (seed, i, t)
+            assert got[i]["n_tokens"] == len(want)
+            assert got[i]["n_merged"] == sum(1 for x in want if len(x) > 1)
+
+
+def test_bpe_encode_empty_and_null_docs_dropped(spark):
+    from nifi_tekst_bundle_spark.operators import lm
+
+    df = spark.createDataFrame(
+        [(0, "aa ab"), (1, None), (2, "   "), (3, "")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in lm.bpe_encode(df, [("a", "a")]).collect()}
+    assert set(got) == {0}
+    assert list(got[0]["tokens"]) == ["aa", "a", "b"]
+
+
 # ------------------------------------------------------ rate anomaly
 
 
-def test_rate_anomaly_flags_seeded_spike(spark):
+def test_rate_anomaly_flags_seeded_spike(spark, tmp_path):
     """A constructed 10x traffic spike in one hour must be the (only)
-    anomalous window for its type; steady types flag nothing."""
+    anomalous window for its type; steady types flag nothing. Exercises
+    the SHIPPED catalog.q_events_rate_anomaly on a seeded events.parquet
+    fixture dir (ADVICE r4: the earlier version re-implemented the
+    z-score inline, validating a copy of the logic)."""
     import datetime as dt
+
+    from nifi_tekst_bundle_spark.plans import catalog as cat
 
     rows = []
     base = dt.datetime(2026, 1, 1)
@@ -338,31 +408,11 @@ def test_rate_anomaly_flags_seeded_spike(spark):
         for i in range(50):  # steady type
             rows.append(("view", base + dt.timedelta(hours=h, seconds=i)))
     df = spark.createDataFrame(rows, "event_type string, ts timestamp")
-    from pyspark.sql import functions as F2
-
-    w = df.groupBy(
-        "event_type", F2.date_trunc("hour", "ts").alias("window_start")
-    ).agg(F2.count("*").cast("bigint").alias("n_events"))
-    stats = w.groupBy("event_type").agg(
-        F2.count("*").cast("bigint").alias("n_windows"),
-        F2.sum("n_events").cast("bigint").alias("s"),
-        F2.sum(F2.col("n_events") * F2.col("n_events")).cast("bigint").alias("ss"),
-    )
-    mean = F2.col("s").cast("double") / F2.col("n_windows")
-    var_num = (
-        F2.col("ss") - F2.col("s").cast("double") * F2.col("s") / F2.col("n_windows")
-    )
-    z = F2.when(
-        var_num > 0,
-        (F2.col("n_events") - mean)
-        / F2.sqrt(var_num / (F2.col("n_windows") - 1)),
-    ).otherwise(F2.lit(0.0))
-    out = (
-        w.join(stats, "event_type")
-        .select("event_type", "window_start", "n_events",
-                (F2.abs(z) >= 2.0).alias("is_anomaly"))
-        .collect()
-    )
+    fixture_dir = str(tmp_path / "sf_seeded")
+    df.coalesce(1).write.parquet(fixture_dir + "/events.parquet")
+    out = cat.q_events_rate_anomaly(spark, fixture_dir).collect()
     anomalies = {(r["event_type"], r["window_start"].hour)
                  for r in out if r["is_anomaly"]}
     assert anomalies == {("click", 5)}
+    # the steady type's windows are all present and unflagged
+    assert sum(1 for r in out if r["event_type"] == "view") == 8

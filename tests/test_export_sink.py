@@ -110,14 +110,22 @@ def test_delta_export_reconstructs_head(spark, tmp_path):
     )
     d = delta["delta"]
     assert d["base_version"] == v_base
-    assert set(d["touched_keys"]) == {"conv-00", "conv-99", "conv-01"}
-    assert d["deleted_keys"] == ["conv-01"]
+    assert d["n_touched"] == 3
+    assert d["n_deleted"] == 1
+    # key LISTS never appear in the manifest (VERDICT r4 #3: a backfill
+    # epoch touching millions of keys must not serialize them driver-side)
+    assert "touched_keys" not in d and "deleted_keys" not in d
 
-    # consumer contract: drop touched keys from the base export, append
-    # the delta rows -> equals a fresh full export of HEAD
+    # consumer contract: touched = exported keys ∪ tombstone keys, all
+    # derived distributively from the shard files
     base_df = export.read_export(spark, str(tmp_path / "full_base"))
     delta_df = export.read_export(spark, str(tmp_path / "delta"))
-    touched = set(d["touched_keys"]) | set(d["deleted_keys"])
+    tombs = export.read_delta_tombstones(spark, str(tmp_path / "delta"))
+    exported_keys = {r[0] for r in delta_df.select("conv_id").distinct().collect()}
+    tomb_keys = {r[0] for r in tombs.select("conv_id").collect()}
+    assert exported_keys == {"conv-00", "conv-99"}
+    assert tomb_keys == {"conv-01"}
+    touched = exported_keys | tomb_keys
     applied = base_df.filter(~F.col("conv_id").isin(*touched)).unionByName(
         delta_df
     )
@@ -129,6 +137,85 @@ def test_delta_export_reconstructs_head(spark, tmp_path):
     assert full_base["total_rows"] == 18
     # delta export is delta-sized, not corpus-sized
     assert delta["total_rows"] < full_base["total_rows"]
+
+
+def test_delta_export_manifest_is_constant_size(spark, tmp_path):
+    """The delta manifest must stay O(shards) however many conversations
+    an epoch touches: its byte size may not grow with the touched-key
+    count (keys live in the sharded JSONL, not the JSON manifest)."""
+    import pandas as pd
+
+    from nifi_tekst_bundle_spark.table.lake import LakeTable
+    from tests.conftest import spark_events
+
+    def ev(rows):
+        base = {
+            "batch_id": "b0", "op": "insert", "turn_idx": 0,
+            "src_conv_id": None, "src_turn_idx": None, "role": "user",
+            "text": None, "tool": None, "ts": None, "schema_version": 1,
+            "extra": None,
+        }
+        return spark_events(spark, pd.DataFrame([{**base, **r} for r in rows]))
+
+    sizes = {}
+    for label, n in [("small", 3), ("large", 120)]:
+        table = LakeTable.create(spark, str(tmp_path / f"t_{label}"), n_buckets=4)
+        table.merge_batch(
+            spark,
+            ev([{"lsn": 1, "conv_id": "conv-seed", "text": "s"}]),
+            fence_key="e0", epoch_id=0,
+        )
+        v_base = table.manifest().version
+        table.merge_batch(
+            spark,
+            ev([{"lsn": i + 2, "conv_id": f"conv-{i:04d}", "text": f"t{i}"}
+                for i in range(n)]),
+            fence_key="e1", epoch_id=1,
+        )
+        m = export.export_delta_jsonl(
+            spark, table, v_base, str(tmp_path / f"d_{label}"), 4
+        )
+        assert m["delta"]["n_touched"] == n
+        sizes[label] = os.path.getsize(
+            os.path.join(str(tmp_path / f"d_{label}"), "_MANIFEST.json")
+        )
+    # 40x the touched keys, same manifest size (± a few digits of counts)
+    assert sizes["large"] <= sizes["small"] + 64
+
+
+def test_delta_export_empty_range_is_legitimate(spark, tmp_path):
+    """Maintenance-only commits (optimize_layout, tag) advance the version
+    without logical changes; a delta export over such a range must write a
+    zero-shard manifest instead of crashing (ADVICE r4 #1)."""
+    import pandas as pd
+
+    from nifi_tekst_bundle_spark.table.lake import LakeTable
+    from tests.conftest import spark_events
+
+    def ev(rows):
+        base = {
+            "batch_id": "b0", "op": "insert", "turn_idx": 0,
+            "src_conv_id": None, "src_turn_idx": None, "role": "user",
+            "text": None, "tool": None, "ts": None, "schema_version": 1,
+            "extra": None,
+        }
+        return spark_events(spark, pd.DataFrame([{**base, **r} for r in rows]))
+
+    table = LakeTable.create(spark, str(tmp_path / "t3"), n_buckets=2)
+    table.merge_batch(
+        spark, ev([{"lsn": 1, "conv_id": "conv-a", "text": "x"}]),
+        fence_key="e0", epoch_id=0,
+    )
+    v_base = table.manifest().version
+    table.optimize_layout(spark)  # version bump, no logical change
+    assert table.manifest().version > v_base
+    m = export.export_delta_jsonl(
+        spark, table, v_base, str(tmp_path / "d_empty"), 2
+    )
+    assert m["total_rows"] == 0 and m["shards"] == {}
+    assert m["delta"]["n_touched"] == 0 and m["delta"]["n_deleted"] == 0
+    # and the artifact is a committed (manifest-bearing) export
+    assert os.path.exists(str(tmp_path / "d_empty" / "_MANIFEST.json"))
 
 
 def test_delta_export_rejects_non_advancing_base(spark, tmp_path):

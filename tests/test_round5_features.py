@@ -1,0 +1,151 @@
+"""Round-5 feature tests: file-level min/max statistics + data skipping
+in the lake layer (VERDICT r4 #1)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_tekst_bundle_spark.table.lake import LakeTable
+from tests.conftest import spark_events
+
+
+def _ev(spark, rows):
+    base = {
+        "batch_id": "b0", "op": "insert", "turn_idx": 0,
+        "src_conv_id": None, "src_turn_idx": None, "role": "user",
+        "text": None, "tool": None, "ts": None, "schema_version": 1,
+        "extra": None,
+    }
+    return spark_events(spark, pd.DataFrame([{**base, **r} for r in rows]))
+
+
+@pytest.fixture(scope="module")
+def stats_table(spark, tmp_path_factory):
+    """200 turns over 10 conversations (turn_idx 0..19), one commit, then
+    optimize_layout into 4 range-split files per bucket sorted by
+    turn_idx."""
+    tmp = tmp_path_factory.mktemp("lake_stats")
+    t = LakeTable.create(spark, str(tmp / "t"), n_buckets=4)
+    t.merge_batch(
+        spark,
+        _ev(spark, [
+            {"lsn": i + 1, "conv_id": f"conv-{i % 10:02d}",
+             "turn_idx": i // 10, "text": f"t{i}",
+             "ts": dt.datetime(2026, 1, 1) + dt.timedelta(minutes=i)}
+            for i in range(200)
+        ]),
+        fence_key="e0", epoch_id=0,
+    )
+    t.optimize_layout(spark, sort_cols=("turn_idx",), files_per_bucket=4)
+    return t
+
+
+def test_file_stats_recorded_in_manifest(stats_table):
+    m = stats_table.manifest()
+    assert len(m.files) > 4  # range-split: more files than buckets
+    for f in m.files:
+        stats = f.get("stats")
+        assert stats, f"file entry without stats: {f}"
+        lo, hi = stats["turn_idx"]
+        assert 0 <= lo <= hi <= 19
+        lo, hi = stats["_lsn_up"]
+        assert 1 <= lo <= hi <= 200
+        # ts stats are epoch microseconds (JSON-safe ints)
+        lo, hi = stats["ts"]
+        assert isinstance(lo, int) and isinstance(hi, int) and lo <= hi
+
+
+def test_turn_range_scan_skips_files_and_stays_exact(spark, stats_table):
+    t = stats_table
+    full = t.visible(spark).filter("turn_idx between 0 and 4")
+    pruned = t.visible(spark, prune={"turn_idx": (0, 4)})
+    scan = t.last_scan
+    # the criterion: fewer files read than exist (VERDICT r4 #1 "done")
+    assert scan["files_skipped"] > 0
+    assert scan["files_read"] < scan["files_candidate"]
+    cols = ["conv_id", "turn_idx", "text"]
+    assert sorted(map(tuple, pruned.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    )
+
+
+def test_lsn_catchup_scan_skips_files_and_stays_exact(spark, stats_table):
+    """The CDC catch-up read: keys last upserted at/after an lsn floor."""
+    t = stats_table
+    pruned = t.visible(spark, prune={"_lsn_up": (150, None)})
+    scan = t.last_scan
+    assert scan["files_skipped"] > 0
+    # lsn correlates with turn_idx here (insert order), so the range-split
+    # layout prunes this scan too; exactness vs the register-level filter
+    regs = t.read_registers(spark)
+    want = regs.filter(F.col("_lsn_up") >= 150).count()
+    assert pruned.count() == want
+
+
+def test_ts_range_scan_accepts_datetime_bounds(spark, stats_table):
+    t = stats_table
+    lo = dt.datetime(2026, 1, 1, 0, 30)
+    hi = dt.datetime(2026, 1, 1, 1, 0)
+    pruned = t.visible(spark, prune={"ts": (lo, hi)})
+    assert t.last_scan["files_skipped"] > 0
+    full = t.visible(spark).filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    )
+    cols = ["conv_id", "turn_idx"]
+    assert sorted(map(tuple, pruned.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    )
+
+
+def test_prune_keeps_statless_files():
+    """Legacy file entries (pre-stats commits) and all-null columns carry
+    no stats entry — they must always be read (sound, never fast-wrong)."""
+    files = [
+        {"path": "a", "bucket": 0, "stats": {"turn_idx": [0, 4]}},
+        {"path": "b", "bucket": 0, "stats": {"turn_idx": [10, 19]}},
+        {"path": "c", "bucket": 0},  # legacy: no stats at all
+        {"path": "d", "bucket": 0, "stats": {}},  # all-null column
+    ]
+    kept, skipped = LakeTable._prune_by_stats(files, {"turn_idx": (0, 5)})
+    assert [f["path"] for f in kept] == ["a", "c", "d"]
+    assert skipped == 1
+    # open-ended bounds
+    kept, _ = LakeTable._prune_by_stats(files, {"turn_idx": (None, 4)})
+    assert [f["path"] for f in kept] == ["a", "c", "d"]
+    kept, _ = LakeTable._prune_by_stats(files, {"turn_idx": (11, None)})
+    assert [f["path"] for f in kept] == ["b", "c", "d"]
+
+
+def test_prune_rejects_unknown_columns(spark, stats_table):
+    with pytest.raises(ValueError, match="no recorded stats"):
+        stats_table.visible(spark, prune={"text": (0, 1)})
+
+
+def test_epoch_commits_after_optimize_still_prune_on_row_groups(
+    spark, stats_table, tmp_path
+):
+    """An ordinary epoch commit rewrites touched buckets as ONE file each
+    (wide stats — sound, no skipping there), while untouched buckets keep
+    their range-split files; a subsequent range scan still skips within
+    the untouched buckets and the answer stays exact."""
+    t = stats_table
+    t.merge_batch(
+        spark,
+        _ev(spark, [{"lsn": 500, "conv_id": "conv-00", "turn_idx": 0,
+                     "text": "updated", "op": "update"}]),
+        fence_key="e1", epoch_id=1,
+    )
+    full = t.visible(spark).filter("turn_idx between 0 and 4")
+    pruned = t.visible(spark, prune={"turn_idx": (0, 4)})
+    assert t.last_scan["files_skipped"] > 0
+    cols = ["conv_id", "turn_idx", "text"]
+    assert sorted(map(tuple, pruned.select(*cols).collect())) == sorted(
+        map(tuple, full.select(*cols).collect())
+    )
+    assert pruned.filter(
+        (F.col("conv_id") == "conv-00") & (F.col("turn_idx") == 0)
+    ).first()["text"] == "updated"
