@@ -109,6 +109,10 @@ HEADLINE = [
     "docs_winnowing_pairs",
     "emb_truncate_renorm",
     "events_rate_anomaly",
+    # round-5 additions
+    "cdc_pruned_scan",
+    "docs_bpe_encode",
+    "pq_topk",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

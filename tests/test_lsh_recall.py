@@ -176,6 +176,59 @@ def test_kmeans_ivf_recall_at_5_beats_or_matches_stride(spark):
     assert r_learned >= 0.5, r_learned
 
 
+def test_pq_topk_recall_at_5_beats_or_matches_stride_ivf(spark):
+    """recall@5 of product-quantization ADC search vs brute force: the
+    VERDICT r4 #6 'done' bar is recall >= the stride-IVF variant. PQ
+    scans ALL candidates with an approximate distance (8 codes × 4
+    subspaces here), so on this near-uniform fixture it should beat a
+    probed search that only looks at ~40% of the corpus exactly.
+    Determinism must hold: two runs give identical rows."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(e, q, k=5).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def mean_recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(qid, set()) & ids) / len(ids) for qid, ids in want.items()
+        ) / len(want)
+
+    stride = similarity.ivf_topk(
+        e, q, k=5, centroid_stride=100, centroid_offset=7, n_probe=2
+    ).collect()
+    pq1 = similarity.pq_topk(
+        e, q, k=5, n_subspaces=16, n_codes=8, n_iter=1, rerank=80
+    ).collect()
+    pq2 = similarity.pq_topk(
+        e, q, k=5, n_subspaces=16, n_codes=8, n_iter=1, rerank=80
+    ).collect()
+    assert sorted(map(tuple, pq1)) == sorted(map(tuple, pq2))
+    r_stride, r_pq = mean_recall(stride), mean_recall(pq1)
+    assert r_pq >= r_stride, (r_pq, r_stride)
+    # raw ADC (no re-rank) stays available and deterministic
+    adc = similarity.pq_topk(
+        e, q, k=5, n_subspaces=16, n_codes=8, n_iter=1
+    ).collect()
+    assert adc and all(r["rank"] <= 5 for r in adc)
+
+
+def test_pq_codebooks_reject_indivisible_dims(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_codebooks(df, n_subspaces=2)
+
+
 def test_semantic_dedup_drops_seeded_near_dup_keeps_min_id(spark):
     """A planted exact duplicate (cosine 1.0) of a lower-id vector must be
     dropped while the lower-id representative and unrelated vectors stay.

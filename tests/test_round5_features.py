@@ -120,6 +120,133 @@ def test_prune_keeps_statless_files():
     assert [f["path"] for f in kept] == ["b", "c", "d"]
 
 
+# ------------------------------------------------- perceptual hash (dHash)
+
+
+def _make_bmp(w, h, pix):
+    """Uncompressed 24bpp BMP from pix[r][c] = (r, g, b), top-down."""
+    stride = (w * 3 + 3) & ~3
+    data = bytearray()
+    for row in reversed(range(h)):  # bottom-up storage
+        line = bytearray()
+        for c in range(w):
+            r_, g, b = pix[row][c]
+            line += bytes([b, g, r_])
+        line += b"\x00" * (stride - len(line))
+        data += line
+    off, size = 54, 54 + len(data)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header + dib + data)
+
+
+def _make_png(w, h, pix):
+    """8-bit RGB PNG (filter 0 rows) from the same pix layout."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        c = typ + data
+        return (
+            struct.pack(">I", len(data)) + c
+            + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b""
+    for r in range(h):
+        raw += b"\x00" + b"".join(bytes(pix[r][c]) for c in range(w))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gradient(w, h, invert=False, edit=False):
+    pix = []
+    for r in range(h):
+        row = []
+        for c in range(w):
+            v = min(255, r * 6 + c * 4)
+            if invert:
+                v = 255 - v
+            row.append((v, v, v))
+        pix.append(row)
+    if edit:
+        for r in range(2):
+            for c in range(4):
+                pix[r][c] = (255, 255, 255)
+    return pix
+
+
+def test_image_phash_real_decode_png_bmp(spark):
+    """The REAL pixel path (pure-python PNG inflate/unfilter + BMP 24bpp
+    walk, PIL when present) through the full mapInPandas plumbing: the
+    same pixels through both formats hash identically, a small edit
+    moves few bits, an inverted image flips (nearly) all of them."""
+    from nifi_tekst_bundle_spark.operators import multimodal
+
+    w, h = 36, 24
+    rows = [
+        (0, "image", _make_bmp(w, h, _gradient(w, h)), None),
+        (1, "image", _make_png(w, h, _gradient(w, h)), None),
+        (2, "image", _make_bmp(w, h, _gradient(w, h, edit=True)), None),
+        (3, "image", _make_bmp(w, h, _gradient(w, h, invert=True)), None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r["phash_bits"]
+        for r in multimodal.image_phash(df, decode_stub=False).collect()
+    }
+    assert all(len(b) == 64 for b in out.values())
+    assert out[0] == out[1]  # same pixels, different container
+
+    def ham(a, b):
+        return sum(1 for x, y in zip(a, b) if x != y)
+
+    assert 0 < ham(out[0], out[2]) <= 12  # small edit, few bits
+    assert ham(out[0], out[3]) >= 48      # inversion flips the gradient
+    # and the banded pair join surfaces exactly the near-dup pair
+    sig = spark.createDataFrame(
+        [(i, b) for i, b in out.items()], "media_id long, phash_bits string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_near_dups(sig, max_hamming=12).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and 0 < pairs[(0, 2)] <= 12
+    assert not any(3 in p for p in pairs)
+
+
+def test_image_phash_unrecognized_bytes_raise(spark):
+    from nifi_tekst_bundle_spark.operators import multimodal
+
+    if multimodal.HAVE_PIL:
+        import pytest as _p
+
+        _p.skip("PIL present — it may decode arbitrary bytes")
+    df = spark.createDataFrame(
+        [(0, "image", b"not an image", None)], multimodal.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|phash"):
+        multimodal.image_phash(df, decode_stub=False).collect()
+
+
 def test_prune_rejects_unknown_columns(spark, stats_table):
     with pytest.raises(ValueError, match="no recorded stats"):
         stats_table.visible(spark, prune={"text": (0, 1)})
