@@ -113,6 +113,7 @@ HEADLINE = [
     "cdc_pruned_scan",
     "docs_bpe_encode",
     "pq_topk",
+    "media_phash_pairs",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

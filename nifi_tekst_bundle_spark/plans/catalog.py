@@ -1727,7 +1727,12 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.lit(None).cast("map<string,string>").alias("meta"),
     )
-    sig = multimodal.image_phash(media, decode_stub=True)
+    # materialize the decode+hash ONCE: the signature table feeds both
+    # sides of the banded self-join, and at scale the pixel decode is the
+    # expensive stage (the contamination/winnowing shared-scan pattern)
+    sig = multimodal.image_phash(media, decode_stub=True).localCheckpoint(
+        eager=True
+    )
     return multimodal.phash_near_dups(sig, n_bands=4, max_hamming=8)
 
 
@@ -4755,6 +4760,42 @@ FROM doc
 DOCS_BPE_ENCODE_SQL = _bpe_encode_sql(BPE_FIXED_MERGES)
 
 
+def q_docs_bpe_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training shards measured in REAL BPE tokens (the
+    trainer→tokenizer→PACKER closure, VERDICT r4 #3's second half):
+    docs_token_shards' greedy ~2000-token packing re-based from
+    whitespace counts onto lm.bpe_encode's token counts, through the
+    same distributed two-phase prefix sum (operators/shard.py — no
+    global window). The oracle recomputes the BPE counts via the
+    unit-replace chain and packs with a single global window, proving
+    the two formulations agree bit-for-bit on real tokenizer output."""
+    from ..operators import shard
+
+    enc = lm.bpe_encode(_read(spark, sf_dir, "documents"), BPE_FIXED_MERGES)
+    t = enc.select("doc_id", "n_tokens")
+    out = shard.balanced_shards(
+        t, "doc_id", "n_tokens", target_weight=2000, ids_per_chunk=64
+    )
+    return out.select("doc_id", "n_tokens", "shard_id")
+
+
+_BPE_COUNTS_SQL = _bpe_encode_sql(BPE_FIXED_MERGES)
+
+DOCS_BPE_TOKEN_SHARDS_SQL = f"""
+WITH enc AS ({_BPE_COUNTS_SQL}),
+c AS (
+  SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - n_tokens AS cum_before
+  FROM enc
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(floor(cum_before / 2000.0) AS INT) AS shard_id
+FROM c
+"""
+
+
 def _bloom_bits_sql(text_expr: str, m: int) -> str:
     return ", ".join(
         f"('0x' || substr(md5({text_expr}), {1 + 8 * j}, 8))::INT64 % {m}"
@@ -6352,6 +6393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bpe_encode": q_docs_bpe_encode,
     "pq_topk": q_pq_topk,
     "media_phash_pairs": q_media_phash_pairs,
+    "docs_bpe_token_shards": q_docs_bpe_token_shards,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -6505,4 +6547,5 @@ ORACLES: dict[str, str] = {
     "docs_bpe_encode": DOCS_BPE_ENCODE_SQL,
     "pq_topk": PQ_TOPK_SQL,
     "media_phash_pairs": MEDIA_PHASH_PAIRS_SQL,
+    "docs_bpe_token_shards": DOCS_BPE_TOKEN_SHARDS_SQL,
 }

@@ -1039,6 +1039,10 @@ class LakeTable:
             files=kept + new_files,
             committed=committed,
             lsn_watermark=lsn_wm,
+            # this commit's files are NOT sorted: the declared order held
+            # for the optimized snapshot only (Iceberg sorted-files vs
+            # later appends) — reset it deliberately
+            sort_order=[],
         )
         try:
             self._write_manifest(new_manifest)
@@ -1483,6 +1487,7 @@ class LakeTable:
             version=m.version + 1,
             files=files,
             lsn_watermark=max(int(getattr(m, "lsn_watermark", 0) or 0), lsn_watermark),
+            sort_order=[],  # compaction rewrite is unsorted
         )
         self._write_manifest(new_manifest)
 
@@ -1673,6 +1678,7 @@ class LakeTable:
             m,
             version=m.version + 1,
             files=kept + new_files,
+            sort_order=[],  # affected buckets rewritten unsorted
             erase_floor=m.version + 1,
             tags={
                 k: v
@@ -1776,6 +1782,7 @@ class LakeTable:
         regs = self.read_registers(spark)
         files = self._write_register_files(regs, n_new, tag=f"rebucket{n_new}")
         new_manifest = _dc_replace(
-            m, version=m.version + 1, n_buckets=n_new, files=files
+            m, version=m.version + 1, n_buckets=n_new, files=files,
+            sort_order=[],  # rebucket rewrite is unsorted
         )
         self._write_manifest(new_manifest)

@@ -427,3 +427,97 @@ def test_signature_plans_keep_hashing_out_of_filters(spark):
             s = line.strip()
             if s.startswith(("Filter", "+- Filter", ":- Filter")):
                 assert "md5" not in s and "xxhash64" not in s, (name, s[:200])
+
+
+def test_round5_queries_plan_shape(spark):
+    """Round-5 scale posture: BPE encode stays JVM-side with the corpus
+    joined to a vocabulary-sized encode table (broadcast-eligible, never
+    a cartesian); PQ scoring broadcasts the query/LUT side and carries
+    only code arrays on the candidate side; the phash pair join is a
+    banded equi-join (no cartesian) whose only Python is the Arrow-
+    batched decode stage itself."""
+    # BPE encode: no Python, no cartesian; the word-key join exists
+    plan = _plan(catalog.q_docs_bpe_encode(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # BPE token shards: composes encode + two-phase prefix sum — still no
+    # global sort of the corpus (rangepartitioning) anywhere
+    plan = _plan(catalog.q_docs_bpe_token_shards(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    # phash pairs: banded equi-join, no cartesian; the decode+hash is
+    # materialized ONCE (checkpointed) so the self-join does not re-run
+    # the mapInPandas decode per side — zero Python in the join plan
+    plan = _plan(catalog.q_media_phash_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan  # no per-row Python anywhere
+    # ...and the signature operator itself is exactly one Arrow stage
+    from nifi_tekst_bundle_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(0, "image", b"xy", None)], multimodal.MEDIA_SCHEMA
+    )
+    assert _plan(
+        multimodal.image_phash(media, decode_stub=True)
+    ).count("MapInPandas") == 1
+
+
+def test_pq_scoring_broadcasts_query_side(spark):
+    """pq_topk's ADC pass: the LUT/query side is broadcast (the corpus
+    side never shuffles for scoring); the re-rank stage joins the
+    shortlist back by id — no cartesian with the corpus."""
+    from nifi_tekst_bundle_spark.operators import similarity
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plan = _plan(
+        similarity.pq_topk(
+            emb, q, k=5, n_subspaces=16, n_codes=8, n_iter=1, rerank=20
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pruned_scan_row_filter_reaches_parquet(spark, tmp_path):
+    """visible(prune=...) keeps the row-level predicate pushable: the
+    parquet scan of the pruned read carries the turn_idx filter (file
+    skipping AND row-group skipping compose)."""
+    import pandas as pd
+
+    from nifi_tekst_bundle_spark.table.lake import LakeTable
+    from tests.conftest import spark_events
+
+    base = {
+        "batch_id": "b0", "op": "insert", "turn_idx": 0,
+        "src_conv_id": None, "src_turn_idx": None, "role": "user",
+        "text": None, "tool": None, "ts": None, "schema_version": 1,
+        "extra": None,
+    }
+    t = LakeTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    t.merge_batch(
+        spark,
+        spark_events(spark, pd.DataFrame([
+            {**base, "lsn": i + 1, "conv_id": f"c{i % 4}", "turn_idx": i // 4,
+             "text": f"t{i}"}
+            for i in range(40)
+        ])),
+        fence_key="e0", epoch_id=0,
+    )
+    t.optimize_layout(spark, sort_cols=("turn_idx",), files_per_bucket=2)
+    fm = _formatted(t.visible(spark, prune={"turn_idx": (0, 3)}))
+    assert "PushedFilters" in fm
+    assert "turn_idx" in fm.split("PushedFilters")[1][:200]
