@@ -114,6 +114,8 @@ HEADLINE = [
     "docs_bpe_encode",
     "pq_topk",
     "media_phash_pairs",
+    "docs_bpe_token_shards",
+    "docs_bpe_pack",
 ]
 
 # replicate the derived change log so the CDC apply job is large enough that

@@ -4779,7 +4779,52 @@ def q_docs_bpe_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "shard_id")
 
 
+def q_docs_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context sequence packing measured in REAL BPE tokens — the
+    docs_pack_sequences variant the tokenizer closure makes possible:
+    lm.bpe_encode's per-doc token counts feed shard.pack_sequences'
+    distributed two-phase prefix sum (ctx 256), so the (sequence, doc)
+    overlap spans now index into the actual BPE token stream a trainer
+    would pack. The oracle recomputes the counts via the unit-replace
+    chain and packs with a single global window."""
+    from ..operators import shard
+
+    enc = lm.bpe_encode(_read(spark, sf_dir, "documents"), BPE_FIXED_MERGES)
+    t = enc.select("doc_id", "n_tokens")
+    out = shard.pack_sequences(
+        t, "doc_id", "n_tokens", ctx_len=256, ids_per_chunk=64
+    )
+    return out.select(
+        "seq_id", "doc_id", "doc_tok_start", "doc_tok_end",
+        "seq_pos_start", "n_toks",
+    )
+
+
 _BPE_COUNTS_SQL = _bpe_encode_sql(BPE_FIXED_MERGES)
+
+DOCS_BPE_PACK_SQL = f"""
+WITH enc AS ({_BPE_COUNTS_SQL}),
+c AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n,
+    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+         - n_tokens AS BIGINT) AS o
+  FROM enc WHERE n_tokens > 0
+),
+s AS (
+  SELECT doc_id, n, o,
+    unnest(generate_series(o // 256, (o + n - 1) // 256)) AS seq_id
+  FROM c
+)
+SELECT CAST(seq_id AS INT) AS seq_id, doc_id,
+  CAST(greatest(0, seq_id * 256 - o) AS BIGINT) AS doc_tok_start,
+  CAST(least(n, (seq_id + 1) * 256 - o) AS BIGINT) AS doc_tok_end,
+  CAST(greatest(0, o - seq_id * 256) AS BIGINT) AS seq_pos_start,
+  CAST(least(n, (seq_id + 1) * 256 - o)
+       - greatest(0, seq_id * 256 - o) AS BIGINT) AS n_toks
+FROM s
+"""
 
 DOCS_BPE_TOKEN_SHARDS_SQL = f"""
 WITH enc AS ({_BPE_COUNTS_SQL}),
@@ -6228,22 +6273,18 @@ def q_cdc_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's prefix-scoped listing
     (DeleteAllS3ObjectsByPrefix.kt:115-117) completed at file
     granularity; the same ``prune=`` path serves lsn-range CDC catch-ups
-    (``_lsn_up``) and event-time scans (``ts``)."""
+    (``_lsn_up``) and event-time scans (``ts``). The table is built in
+    ONE fenced commit — multi-epoch commit mechanics are covered by the
+    cdc_* rows; this row isolates the layout/skipping feature (five
+    commits measured 3× the time for zero extra evidence)."""
     from ..table.lake import LakeTable
 
-    events = derive_change_events(spark, sf_dir).persist()
+    events = derive_change_events(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="cdc_prune_")
     table = LakeTable.create(
         spark, os.path.join(tmp, "table"), payload_cols=CDC_PAYLOAD, n_buckets=8
     )
-    for b in ["b00", "b01", "b02", "b03", "b04"]:
-        table.merge_batch(
-            spark,
-            events.filter(F.col("batch_id") == b),
-            fence_key=f"batch-{b}",
-            batch_id=b,
-        )
-    events.unpersist()
+    table.merge_batch(spark, events, fence_key="bootstrap", batch_id="all")
     table.optimize_layout(spark, sort_cols=("turn_idx",), files_per_bucket=4)
     vis = table.visible(spark, prune={"turn_idx": (0, 5)})
     scan = table.last_scan
@@ -6394,6 +6435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk": q_pq_topk,
     "media_phash_pairs": q_media_phash_pairs,
     "docs_bpe_token_shards": q_docs_bpe_token_shards,
+    "docs_bpe_pack": q_docs_bpe_pack,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -6548,4 +6590,5 @@ ORACLES: dict[str, str] = {
     "pq_topk": PQ_TOPK_SQL,
     "media_phash_pairs": MEDIA_PHASH_PAIRS_SQL,
     "docs_bpe_token_shards": DOCS_BPE_TOKEN_SHARDS_SQL,
+    "docs_bpe_pack": DOCS_BPE_PACK_SQL,
 }

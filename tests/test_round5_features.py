@@ -276,3 +276,45 @@ def test_epoch_commits_after_optimize_still_prune_on_row_groups(
     assert pruned.filter(
         (F.col("conv_id") == "conv-00") & (F.col("turn_idx") == 0)
     ).first()["text"] == "updated"
+
+
+def test_prune_by_stats_soundness_property():
+    """Property (pure python, no Spark): for ANY file stats and ANY
+    range predicate, pruning never drops a file that could hold a
+    matching row — i.e. a skipped file's recorded range is provably
+    disjoint from the predicate range."""
+    from hypothesis import given, strategies as st
+
+    rng = st.integers(min_value=-50, max_value=50)
+    file_strat = st.builds(
+        lambda lo, span, has: (
+            {"path": "f", "bucket": 0, "stats": {"c": [lo, lo + span]}}
+            if has
+            else {"path": "f", "bucket": 0}
+        ),
+        rng,
+        st.integers(min_value=0, max_value=30),
+        st.booleans(),
+    )
+    bound = st.one_of(st.none(), rng)
+
+    @given(st.lists(file_strat, max_size=8), bound, bound)
+    def check(files, lo, hi):
+        kept, skipped = LakeTable._prune_by_stats(files, {"c": (lo, hi)})
+        assert len(kept) + skipped == len(files)
+        kept_ids = {id(f) for f in kept}
+        for f in files:
+            stats = f.get("stats", {}).get("c")
+            if stats is None:
+                assert id(f) in kept_ids  # statless files always read
+                continue
+            mn, mx = stats
+            # the file's range intersects the predicate range iff some
+            # v in [mn, mx] satisfies lo <= v <= hi
+            intersects = (hi is None or mn <= hi) and (lo is None or mx >= lo)
+            if intersects:
+                assert id(f) in kept_ids
+            else:
+                assert id(f) not in kept_ids
+
+    check()
