@@ -111,6 +111,7 @@ HEADLINE = [
     "events_rate_anomaly",
     # round-5 additions
     "cdc_pruned_scan",
+    "cdc_pruned_time_scan",
     "docs_bpe_encode",
     "pq_topk",
     "media_phash_pairs",

@@ -6301,6 +6301,94 @@ SELECT * FROM final WHERE turn_idx BETWEEN 0 AND 5
 """
 
 
+def q_cdc_pruned_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME file skipping — the time-range scan named in VERDICT r4
+    #1: the change events carry the source event time as the ``ts``
+    payload column (full PAYLOAD_COLUMNS schema), the table is
+    optimized into 4 ts-sorted range-split files per bucket, and a
+    one-week window scan (`visible(prune={"ts": ...})`) opens only the
+    files whose recorded [ts_min, ts_max] intersects the window —
+    asserted (zero skips fails the row loudly). Register writes use
+    TIMESTAMP_MICROS precisely so ts columns carry parquet stats (INT96
+    has none). The oracle replays the 4-column LWW fold and filters by
+    the same literals, so the green row proves event-time skipping never
+    changes the answer."""
+    import datetime as _dt
+
+    from ..table.lake import LakeTable
+
+    base = derive_change_events(spark, sf_dir)
+    src_ts = _read(spark, sf_dir, "events").select(
+        (F.col("event_id") + 1).alias("lsn"), F.col("ts").alias("_src_ts")
+    )
+    events = (
+        base.drop("ts")
+        .join(src_ts, "lsn")
+        .withColumn(
+            "ts", F.when(F.col("op") != "delete", F.col("_src_ts"))
+        )
+        .drop("_src_ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_prune_ts_")
+    table = LakeTable.create(spark, os.path.join(tmp, "table"), n_buckets=8)
+    table.merge_batch(spark, events, fence_key="bootstrap", batch_id="all")
+    table.optimize_layout(spark, sort_cols=("ts",), files_per_bucket=4)
+    lo = _dt.datetime(2024, 1, 5)
+    hi = _dt.datetime(2024, 1, 12)
+    vis = table.visible(spark, prune={"ts": (lo, hi)})
+    scan = table.last_scan
+    if not scan or scan["files_skipped"] == 0:
+        raise AssertionError(
+            f"cdc_pruned_time_scan: expected file skipping, scan={scan}"
+        )
+    return vis
+
+
+_EV_SQL_VALID_TS = """
+  SELECT event_id + 1 AS lsn,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'purchase' THEN 'update'
+              ELSE 'insert' END AS op,
+         CASE WHEN user_id % 7 = 0 AND event_type NOT IN ('error','purchase')
+              THEN NULL
+              ELSE 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') END AS conv_id,
+         CAST(event_id % 25 AS INT) AS turn_idx,
+         CASE WHEN event_type <> 'error' THEN event_type END AS role,
+         CASE WHEN event_type <> 'error' AND value > 50
+              THEN 'v' || CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS VARCHAR) END AS text,
+         CASE WHEN event_type <> 'error' AND value > 100 THEN 'hot' END AS tool,
+         CASE WHEN event_type <> 'error' THEN ts END AS ts
+  FROM events
+"""
+
+_AGG_TS, _VIS_TS = _lww_agg_sql(["role", "text", "tool", "ts"])
+
+CDC_PRUNED_TIME_SCAN_SQL = f"""
+WITH ev AS ({_EV_SQL_VALID_TS}),
+ev2 AS (
+  SELECT lsn, op,
+         coalesce(conv_id, 'conv-auto-' || lpad(upper(to_hex(lsn)), 16, '0')) AS conv_id,
+         turn_idx, role, text, tool, ts
+  FROM ev
+),
+agg AS (
+  SELECT conv_id, turn_idx,
+    coalesce(max(lsn) FILTER (WHERE op <> 'delete'), -1) AS lup,
+    coalesce(max(lsn) FILTER (WHERE op = 'delete'), -1) AS ldel,
+    {_AGG_TS}
+  FROM ev2 GROUP BY conv_id, turn_idx
+),
+final AS (
+  SELECT conv_id, turn_idx,
+  {_VIS_TS}
+  FROM agg WHERE lup > ldel
+)
+SELECT * FROM final
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-12 00:00:00'
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6431,6 +6519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-5 additions (newest → first in the driver window after the
     # reversal below)
     "cdc_pruned_scan": q_cdc_pruned_scan,
+    "cdc_pruned_time_scan": q_cdc_pruned_time_scan,
     "docs_bpe_encode": q_docs_bpe_encode,
     "pq_topk": q_pq_topk,
     "media_phash_pairs": q_media_phash_pairs,
@@ -6586,6 +6675,7 @@ ORACLES: dict[str, str] = {
     "conv_sig_maintain": CONV_SIG_MAINTAIN_SQL,
     "cdc_text_churn": CDC_TEXT_CHURN_SQL,
     "cdc_pruned_scan": CDC_PRUNED_SCAN_SQL,
+    "cdc_pruned_time_scan": CDC_PRUNED_TIME_SCAN_SQL,
     "docs_bpe_encode": DOCS_BPE_ENCODE_SQL,
     "pq_topk": PQ_TOPK_SQL,
     "media_phash_pairs": MEDIA_PHASH_PAIRS_SQL,
