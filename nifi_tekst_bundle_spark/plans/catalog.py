@@ -4800,7 +4800,40 @@ def q_docs_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-evaluation report: per-language chars-per-token of the
+    learned BPE tokenizer (the compression-ratio metric a tokenizer
+    release is judged by — higher chars/token = fewer tokens per byte of
+    training data). Composes bpe_encode's counts with the documents'
+    n_chars; one language-keyed map-side-combinable aggregation; the
+    ratio is one IEEE division of exact integer sums, so the oracle
+    matches bit-for-bit."""
+    docs = _read(spark, sf_dir, "documents")
+    enc = lm.bpe_encode(docs, BPE_FIXED_MERGES)
+    j = enc.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    return j.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )
+
+
 _BPE_COUNTS_SQL = _bpe_encode_sql(BPE_FIXED_MERGES)
+
+DOCS_BPE_COMPRESSION_SQL = f"""
+WITH enc AS ({_BPE_COUNTS_SQL})
+SELECT d.lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(e.n_tokens) AS BIGINT) AS total_tokens,
+  CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+  round(CAST(sum(d.n_chars) AS DOUBLE) / sum(e.n_tokens), 6)
+    AS chars_per_token
+FROM enc e JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
 
 DOCS_BPE_PACK_SQL = f"""
 WITH enc AS ({_BPE_COUNTS_SQL}),
@@ -6525,6 +6558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_phash_pairs": q_media_phash_pairs,
     "docs_bpe_token_shards": q_docs_bpe_token_shards,
     "docs_bpe_pack": q_docs_bpe_pack,
+    "docs_bpe_compression": q_docs_bpe_compression,
     # production-hash variants (xxhash64 backend; rows-only driver check —
     # DuckDB cannot reproduce xxhash64, see the section comment above)
     "docs_minhash_sig_prod": q_docs_minhash_sig_prod,
@@ -6681,4 +6715,5 @@ ORACLES: dict[str, str] = {
     "media_phash_pairs": MEDIA_PHASH_PAIRS_SQL,
     "docs_bpe_token_shards": DOCS_BPE_TOKEN_SHARDS_SQL,
     "docs_bpe_pack": DOCS_BPE_PACK_SQL,
+    "docs_bpe_compression": DOCS_BPE_COMPRESSION_SQL,
 }
